@@ -1,0 +1,14 @@
+"""amt_tools_tpu — a TPU-native automatic music transcription framework.
+
+A ground-up JAX/XLA/Pallas re-design with the capabilities of
+``cwitkowitz/amt-tools``: feature extraction, transcription models, output
+estimation, evaluation, training, and offline/online inference — built for
+TPU hardware (MXU-friendly feature kernels, scan-based recurrence, pjit data
+parallelism) rather than translated from the reference's PyTorch patterns.
+"""
+
+__version__ = '0.1.0'
+
+from . import tools
+
+__all__ = ['tools']

@@ -1,0 +1,21 @@
+"""Test configuration: force a virtual 8-device CPU mesh before JAX loads.
+
+All tests run hermetically on CPU; multi-chip sharding tests use the 8
+virtual host devices (`xla_force_host_platform_device_count=8`).
+"""
+
+import os
+
+# Must be set before jax is imported anywhere
+os.environ.setdefault('JAX_PLATFORMS', 'cpu')
+flags = os.environ.get('XLA_FLAGS', '')
+if 'xla_force_host_platform_device_count' not in flags:
+    os.environ['XLA_FLAGS'] = (flags + ' --xla_force_host_platform_device_count=8').strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.RandomState(0)
