@@ -1,0 +1,158 @@
+"""Feature extraction module base class.
+
+Carries the frame-count algebra contract the datasets rely on
+(``get_expected_frames`` / ``get_sample_range``, reference
+``features/common.py:41-112``) and the dB post-processing that maps
+[-80, 0] dB onto [0, 1] (``features/common.py:203-230``).
+
+TPU-first design: every concrete module implements ``process_jax`` — a pure
+jnp function over (..., N) audio that is jit/vmap-safe and batchable, so
+feature extraction can live *inside* the compiled training/inference graph.
+``process_audio`` is the host-side convenience wrapper (numpy in/out) used
+for dataset caching. All transforms in this package share the canonical
+uniform frame algebra T = 1 + N // hop (the direct-matmul CQT/VQT makes this
+possible; the reference needs per-transform overrides for librosa's
+early-downsampling, ``features/vqt.py:102-165``).
+"""
+
+from abc import abstractmethod
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..ops import spectral
+
+
+class FeatureModule(object):
+    """Generic music feature extraction module."""
+
+    def __init__(self, sample_rate, hop_length, num_channels, decibels=True):
+        self.sample_rate = sample_rate
+        self.hop_length = hop_length
+        self.num_channels = num_channels
+        self.decibels = decibels
+
+    ##############################
+    # Frame-count algebra        #
+    ##############################
+
+    def get_expected_frames(self, audio):
+        """Number of frames produced for a piece of audio (or sample count)."""
+
+        num_samples = audio if np.isscalar(audio) else np.asarray(audio).shape[-1]
+
+        if num_samples == 0:
+            return 0
+
+        return 1 + num_samples // self.hop_length
+
+    def get_sample_range(self, num_frames):
+        """Audio lengths (in samples) that produce exactly ``num_frames``."""
+
+        if num_frames <= 0:
+            return np.array([0])
+
+        max_samples = num_frames * self.hop_length - 1
+        min_samples = max(1, max_samples - self.hop_length + 1)
+
+        return np.arange(min_samples, max_samples + 1)
+
+    def get_num_samples_required(self):
+        """Number of samples required to extract one full frame of features."""
+
+        return self.get_sample_range(1)[-1]
+
+    @staticmethod
+    def divisor_pad(audio, divisor):
+        """Zero-pad audio so its length is divisible by ``divisor``."""
+
+        pad_amt = divisor - (audio.shape[-1] % divisor)
+
+        if 0 < pad_amt < divisor:
+            audio = np.append(audio, np.zeros(pad_amt, dtype=np.float32), axis=-1)
+
+        return audio
+
+    def frame_pad(self, audio):
+        """Zero-pad audio to fill out the final frame."""
+
+        divisor = self.get_num_samples_required()
+
+        if audio.shape[-1] > divisor:
+            divisor = self.hop_length
+
+        return self.divisor_pad(audio, divisor)
+
+    ##############################
+    # Processing                 #
+    ##############################
+
+    @abstractmethod
+    def process_jax(self, audio):
+        """Pure jnp feature transform: (..., N) audio -> (..., C, F, T)."""
+
+        raise NotImplementedError
+
+    def process_audio(self, audio):
+        """Host entry point: numpy audio in, numpy features out."""
+
+        audio = np.asarray(audio, dtype=np.float32)
+
+        if audio.shape[-1] == 0:
+            return self.get_null_features()
+
+        return np.asarray(self.process_jax(jnp.asarray(audio)))
+
+    def get_null_features(self):
+        """Features for empty audio: a zero-frame array of the right shape."""
+
+        return np.zeros((self.get_num_channels(), self.get_feature_size(), 0),
+                        dtype=np.float32)
+
+    def to_decibels(self, feats):
+        """Convert amplitude features to dB relative to their maximum."""
+
+        return spectral.amplitude_to_db(feats)
+
+    def post_proc(self, feats):
+        """dB scaling into [0, 1] and channel-dim insertion (jnp)."""
+
+        if self.decibels:
+            feats = self.to_decibels(feats)
+            # Assuming a range of -80 to 0 dB, scale between 0 and 1
+            feats = feats / 80.0 + 1.0
+
+        # Add a channel dimension before F
+        return jnp.expand_dims(feats, axis=-3)
+
+    ##############################
+    # Metadata                   #
+    ##############################
+
+    def get_times(self, audio):
+        """Time (seconds) of the start of each frame."""
+
+        num_frames = self.get_expected_frames(audio)
+
+        return np.arange(num_frames) * self.hop_length / self.sample_rate
+
+    def get_sample_rate(self):
+        return self.sample_rate
+
+    def get_hop_length(self):
+        return self.hop_length
+
+    def get_num_channels(self):
+        return self.num_channels
+
+    @abstractmethod
+    def get_feature_size(self):
+        """Dimensionality along the feature (frequency) axis."""
+
+        raise NotImplementedError
+
+    @classmethod
+    def features_name(cls):
+        """Class-name tag used e.g. as the on-disk feature cache directory."""
+
+        return cls.__name__

@@ -1,0 +1,49 @@
+"""Mel spectrogram features: |STFT|^2 contracted against a precomputed mel
+filterbank (one MXU matmul).
+
+Parity with the reference's ``features/mel.py:11-110`` (Slaney mel scale with
+an HTK option; power-dB post-processing; n_mels=229 Onsets & Frames default).
+"""
+
+import jax.numpy as jnp
+
+from ..ops import spectral
+from .stft import STFT
+
+
+class MelSpec(STFT):
+    """Mel spectrogram features -> (1, n_mels, T)."""
+
+    def __init__(self, sample_rate=16000, hop_length=512, decibels=True,
+                 n_mels=229, n_fft=2048, win_length=None, center=True,
+                 htk=False):
+        super().__init__(sample_rate=sample_rate, hop_length=hop_length,
+                         decibels=decibels, win_length=win_length,
+                         center=center, n_fft=n_fft)
+
+        self.n_mels = n_mels
+        self.htk = htk
+
+        # Precompute the filterbank once (host); (n_mels, n_fft//2+1)
+        self._mel_fb = spectral.mel_filterbank(sample_rate, n_fft,
+                                               n_mels=n_mels, htk=htk)
+
+    def process_jax(self, audio):
+        spec = spectral.stft_mag(jnp.asarray(audio), n_fft=self.n_fft,
+                                 hop_length=self.hop_length,
+                                 win_length=self.win_length,
+                                 center=self.center, window=self._window)
+
+        # Power mel: filterbank applied to the power spectrogram
+        mel = jnp.einsum('mf,...ft->...mt', jnp.asarray(self._mel_fb),
+                         jnp.square(spec))
+
+        return self.post_proc(mel)
+
+    def to_decibels(self, feats):
+        """Mel features are powers: use power-dB scaling."""
+
+        return spectral.power_to_db(feats)
+
+    def get_feature_size(self):
+        return self.n_mels

@@ -1,0 +1,175 @@
+"""Device-side decoding ops: everything the models' post-processing and the
+estimators need inside ``jit``.
+
+jnp counterparts of the host conversions in ``tools.utils`` (the reference
+runs these on torch tensors, e.g. ``utils.py:1988-2226``), plus a fully
+vectorized on-device note decoder built from suffix scans (replacing the
+data-dependent Python loop at the reference's ``utils.py:369-471``).
+"""
+
+import jax.numpy as jnp
+
+__all__ = [
+    'threshold',
+    'multi_pitch_to_onsets',
+    'multi_pitch_to_offsets',
+    'logistic_to_tablature',
+    'tablature_to_stacked_multi_pitch',
+    'stacked_multi_pitch_to_tablature',
+    'stacked_multi_pitch_to_multi_pitch',
+    'stacked_multi_pitch_to_logistic',
+    'note_segments',
+]
+
+
+def threshold(activations, thr=0.5):
+    """Binarize activations at a threshold."""
+
+    return jnp.where(activations >= thr, 1.0, 0.0)
+
+
+def multi_pitch_to_onsets(multi_pitch):
+    """Edge-detect activation starts along the last axis."""
+
+    first = multi_pitch[..., :1]
+    diff = multi_pitch[..., 1:] - multi_pitch[..., :-1]
+    onsets = jnp.concatenate([first, diff], axis=-1)
+
+    return jnp.where(onsets > 0, onsets, 0.0)
+
+
+def multi_pitch_to_offsets(multi_pitch):
+    """Edge-detect activation ends along the last axis."""
+
+    last = multi_pitch[..., -1:]
+    diff = -(multi_pitch[..., 1:] - multi_pitch[..., :-1])
+    offsets = jnp.concatenate([diff, last], axis=-1)
+
+    return jnp.where(offsets > 0, offsets, 0.0)
+
+
+def logistic_to_tablature(logistic, profile, silence, silence_thr=0.05):
+    """(..., N, T) flattened string/fret activations -> (..., S, T) class ids."""
+
+    num_dofs = profile.get_num_dofs()
+    group = profile.num_pitches + int(silence)
+    lead = logistic.shape[:-2]
+
+    # (..., S, group, T) view of the flattened activations
+    acts = logistic.reshape(lead + (num_dofs, group, logistic.shape[-1]))
+
+    max_acts = jnp.max(acts, axis=-2)
+    highest = jnp.argmax(acts, axis=-2)
+
+    if silence:
+        tablature = highest - 1
+    else:
+        tablature = jnp.where(max_acts <= silence_thr, -1, highest)
+
+    return tablature
+
+
+def tablature_to_stacked_multi_pitch(tablature, profile):
+    """(..., S, T) class ids -> (..., S, F, T) one-hot pitch activations."""
+
+    num_pitches = profile.get_range_len()
+    tuning = jnp.asarray(profile.get_midi_tuning())
+
+    # Absolute pitch row per (string, frame); silence maps out of range
+    pitch_idx = tablature + (tuning - profile.low)[..., :, None]
+    pitch_idx = jnp.where(tablature >= 0, pitch_idx, num_pitches)
+
+    one_hot = jnp.arange(num_pitches)[:, None] == pitch_idx[..., None, :]
+
+    return one_hot.astype(jnp.float32)
+
+
+def stacked_multi_pitch_to_tablature(stacked_multi_pitch, profile):
+    """(..., S, F, T) stack -> (..., S, T) class ids (-1 = silence)."""
+
+    tuning = profile.get_midi_tuning()
+    num_pitches = profile.num_pitches
+
+    tabs = []
+    for dof in range(stacked_multi_pitch.shape[-3]):
+        lo = int(tuning[dof]) - profile.low
+        mp = stacked_multi_pitch[..., dof, lo: lo + num_pitches, :]
+        silent = jnp.sum(mp, axis=-2) == 0
+        highest = jnp.argmax(mp, axis=-2)
+        tabs.append(jnp.where(silent, -1, highest)[..., None, :])
+
+    return jnp.concatenate(tabs, axis=-2)
+
+
+def stacked_multi_pitch_to_multi_pitch(stacked_multi_pitch):
+    """Collapse (..., S, F, T) -> (..., F, T) by max."""
+
+    return jnp.max(stacked_multi_pitch, axis=-3)
+
+
+def stacked_multi_pitch_to_logistic(stacked_multi_pitch, profile, silence=False):
+    """(..., S, F, T) stack -> (..., N, T) flattened string/fret activations."""
+
+    tuning = profile.get_midi_tuning()
+    num_pitches = profile.num_pitches
+
+    parts = []
+    for dof in range(stacked_multi_pitch.shape[-3]):
+        lo = int(tuning[dof]) - profile.low
+        mp = stacked_multi_pitch[..., dof, lo: lo + num_pitches, :]
+        if silence:
+            silent = (jnp.sum(mp, axis=-2, keepdims=True) == 0).astype(mp.dtype)
+            mp = jnp.concatenate([silent, mp], axis=-2)
+        parts.append(mp)
+
+    return jnp.concatenate(parts, axis=-2)
+
+
+def note_segments(multi_pitch, onsets=None):
+    """Vectorized on-device note segmentation.
+
+    For an (F, T) activation map (optionally gated by an onset map), computes
+    per-cell note boundaries with suffix scans:
+
+    Returns ``(onset_impulses, end_frames)`` where ``onset_impulses`` is a
+    bool (F, T) map of note starts and ``end_frames[f, t]`` gives, for a note
+    starting at frame t of pitch f, the exclusive end frame (first frame > t
+    where the pitch deactivates or re-onsets; T if it runs to the edge).
+
+    Host code converts the (sparse) impulse map into a ragged note list; all
+    O(F*T) work stays on device.
+    """
+
+    if onsets is None:
+        onsets = multi_pitch_to_onsets(multi_pitch)
+
+    active = jnp.logical_or(onsets > 0, multi_pitch > 0)
+    onset_impulses = multi_pitch_to_onsets(onsets.astype(jnp.float32)) > 0
+
+    num_frames = active.shape[-1]
+    frame_idx = jnp.arange(num_frames)
+
+    # Suffix-min scans: next inactive frame and next onset frame at/after t
+    cand_inactive = jnp.where(~active, frame_idx, num_frames)
+    next_inactive = _reverse_cummin(cand_inactive)
+
+    cand_onset = jnp.where(onset_impulses, frame_idx, num_frames)
+    next_onset = _reverse_cummin(cand_onset)
+
+    # Shift by one: the search starts strictly after the onset frame
+    pad_shape = next_inactive.shape[:-1] + (1,)
+    pad = jnp.full(pad_shape, num_frames)
+    next_inactive = jnp.concatenate([next_inactive[..., 1:], pad], axis=-1)
+    next_onset = jnp.concatenate([next_onset[..., 1:], pad], axis=-1)
+
+    end_frames = jnp.minimum(next_inactive, next_onset)
+
+    return onset_impulses, end_frames
+
+
+def _reverse_cummin(x):
+    """Cumulative minimum from the right along the last axis."""
+
+    import jax.lax as lax
+
+    return jnp.flip(lax.cummin(jnp.flip(x, axis=-1), axis=x.ndim - 1), axis=-1)

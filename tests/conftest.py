@@ -12,6 +12,13 @@ flags = os.environ.get('XLA_FLAGS', '')
 if 'xla_force_host_platform_device_count' not in flags:
     os.environ['XLA_FLAGS'] = (flags + ' --xla_force_host_platform_device_count=8').strip()
 
+import jax
+
+# Persistent compilation cache: XLA compiles are slow on this CPU (~1-4 s per
+# unique op); caching makes repeat test runs cheap.
+jax.config.update('jax_compilation_cache_dir', os.path.expanduser('~/.cache/jax'))
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.1)
+
 import numpy as np
 import pytest
 
