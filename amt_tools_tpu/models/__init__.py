@@ -1,0 +1,11 @@
+"""Transcription models: base classes, output layers, O&F v1/v2, TabCNN."""
+
+from .common import (TranscriptionModel, OutputLayer, SoftmaxGroups,
+                     LogisticBank, run_on_batch)
+from .onsetsframes import (OnsetsFrames, OnsetsFrames2, AcousticModel,
+                           LanguageModel, OnlineLanguageModel)
+from .tabcnn import TabCNN
+
+__all__ = ['TranscriptionModel', 'OutputLayer', 'SoftmaxGroups', 'LogisticBank',
+           'run_on_batch', 'OnsetsFrames', 'OnsetsFrames2', 'AcousticModel',
+           'LanguageModel', 'OnlineLanguageModel', 'TabCNN']

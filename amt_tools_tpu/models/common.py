@@ -1,0 +1,250 @@
+"""Transcription model base classes and output layers (flax linen).
+
+Re-designs the contracts of the reference's ``amt_tools/models/common.py``
+for JAX:
+
+- ``TranscriptionModel`` (reference ``models/common.py:18-199``) keeps the
+  ``pre_proc -> forward -> post_proc`` pipeline, but as pure functions over
+  pytrees: parameters live in flax variable collections, the step counter
+  lives in the train state, and device placement is a sharding concern
+  (``parallel/``) instead of a ``change_device`` method.
+- ``OutputLayer`` / ``SoftmaxGroups`` / ``LogisticBank`` (reference
+  ``models/common.py:202-620``) are linen modules whose ``get_loss`` /
+  ``finalize_output`` are parameter-free pure jnp functions, so they can be
+  called inside or outside ``jit`` and differentiate cleanly.
+
+Layout note: features flow through models as NHWC (batch, time, freq,
+channel) — the TPU-native convolution layout — rather than the reference's
+NCHW.
+"""
+
+from abc import abstractmethod
+from typing import Any, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+from flax import linen as nn
+
+from .. import tools
+
+__all__ = [
+    'TranscriptionModel',
+    'OutputLayer',
+    'SoftmaxGroups',
+    'LogisticBank',
+    'run_on_batch',
+]
+
+
+class TranscriptionModel(nn.Module):
+    """Base class for music transcription models.
+
+    Attributes mirror the reference's constructor arguments
+    (``models/common.py:23-57``): input feature dimensionality, instrument
+    profile, channel count, complexity scaling, and frame width (number of
+    feature frames consumed per prediction).
+    """
+
+    dim_in: int
+    profile: Any
+    in_channels: int = 1
+    model_complexity: int = 1
+    frame_width: int = 1
+
+    @nn.nowrap
+    def pre_proc(self, batch):
+        """Model-specific feature pre-processing (pure jnp, jit-safe).
+
+        Default: pass features through unchanged. Batches are dictionaries
+        of arrays (valid pytrees); features arrive as (B, C, F, T) from the
+        feature modules.
+        """
+
+        return batch
+
+    @abstractmethod
+    def __call__(self, feats, train=False):
+        """Main processing: features -> dict of raw (loss-friendly) outputs."""
+
+        raise NotImplementedError
+
+    @abstractmethod
+    @nn.nowrap
+    def post_proc(self, batch):
+        """Compute losses (if ground truth is present) and finalize output.
+
+        Takes the batch with ``tools.KEY_OUTPUT`` holding the raw forward
+        results; returns the output dictionary with ``tools.KEY_LOSS`` (a
+        dict of loss terms including ``KEY_LOSS_TOTAL``) and finalized
+        predictions. Pure jnp — differentiable through the loss.
+        """
+
+        raise NotImplementedError
+
+    @classmethod
+    def model_name(cls):
+        """Class-name tag for the model (used in logging/checkpoint paths)."""
+
+        return cls.__name__
+
+
+def run_on_batch(model, variables, batch, train=False, rngs=None):
+    """Full pipeline on one batch: pre_proc -> forward -> post_proc.
+
+    Functional analog of the reference's ``run_on_batch``
+    (``models/common.py:151-184``). Returns ``(output, mutated_vars)`` where
+    ``mutated_vars`` holds updated batch statistics when training (empty
+    otherwise). Jit-safe; differentiable w.r.t. ``variables``.
+    """
+
+    batch = dict(batch)
+    batch = model.pre_proc(batch)
+
+    mutable = ['batch_stats'] if train else []
+    raw_output, mutated = model.apply(
+        variables, batch[tools.KEY_FEATS], train=train,
+        rngs=rngs, mutable=mutable)
+
+    batch[tools.KEY_OUTPUT] = raw_output
+    output = model.post_proc(batch)
+
+    if tools.query_dict(batch, tools.KEY_TIMES):
+        output[tools.KEY_TIMES] = batch[tools.KEY_TIMES]
+
+    return output, mutated
+
+
+class OutputLayer(nn.Module):
+    """Generic output layer: a projection plus pure loss/decode functions."""
+
+    dim_in: int
+    dim_out: int
+    weights: Optional[Any] = None
+
+    @abstractmethod
+    def __call__(self, feats):
+        raise NotImplementedError
+
+    @abstractmethod
+    @nn.nowrap
+    def get_loss(self, estimated, reference):
+        raise NotImplementedError
+
+    @nn.nowrap
+    def finalize_output(self, raw_output):
+        """Detach raw output from the gradient graph."""
+
+        return jax.lax.stop_gradient(raw_output)
+
+
+class SoftmaxGroups(OutputLayer):
+    """Multi-group softmax head for tablature.
+
+    Each degree of freedom (e.g. guitar string) is an independent softmax
+    over ``num_classes`` (frets + silence). Semantics match the reference's
+    ``models/common.py:305-483``: loss is per-group cross-entropy summed over
+    groups, averaged over frames and batch; decoding is per-group argmax with
+    the final class mapped to -1 (silence).
+    """
+
+    num_groups: int = 1
+    num_classes: int = 1
+
+    @nn.compact
+    def __call__(self, feats):
+        """(B, T, E) features -> (B, T, num_groups * num_classes) logits."""
+
+        return nn.Dense(self.num_groups * self.num_classes)(feats)
+
+    @nn.nowrap
+    def get_loss(self, estimated, reference):
+        """CE loss: estimated (B, T, G*C) logits vs reference (B, G, T) tabs."""
+
+        num_classes = self.num_classes
+
+        # (B, G, T) -> (B, T, G), -1 (silence) -> final class index
+        labels = jnp.swapaxes(reference, -1, -2).astype(jnp.int32)
+        labels = jnp.where(labels == -1, num_classes - 1, labels)
+
+        logits = estimated.reshape(estimated.shape[:-1] + (self.num_groups, num_classes))
+
+        if self.weights is not None:
+            weights = jnp.asarray(self.weights).reshape(self.num_groups, num_classes)
+            per_label_w = jnp.take_along_axis(
+                weights[None, None], labels[..., None], axis=-1)[..., 0]
+        else:
+            per_label_w = 1.0
+
+        loss = optax.softmax_cross_entropy_with_integer_labels(
+            logits.astype(jnp.float32), labels)
+        loss = loss * per_label_w
+
+        # Sum across degrees of freedom, average across frames, then batch
+        loss = jnp.sum(loss, axis=-1)
+        loss = jnp.mean(loss, axis=-1)
+
+        return jnp.mean(loss)
+
+    @nn.nowrap
+    def finalize_output(self, raw_output, last_negative=True):
+        """(B, T, G*C) logits -> (B, G, T) class indices (-1 = silence)."""
+
+        out = super().finalize_output(raw_output)
+
+        out = out.reshape(out.shape[:-1] + (self.num_groups, self.num_classes))
+        out = jnp.argmax(out, axis=-1)
+
+        if last_negative:
+            out = jnp.where(out == self.num_classes - 1, -1, out)
+
+        return jnp.swapaxes(out, -1, -2)
+
+
+class LogisticBank(OutputLayer):
+    """Multi-label logistic head for quantized pitch activity.
+
+    Semantics match the reference's ``models/common.py:486-620``: per-key
+    binary cross-entropy averaged over frames, summed over keys, averaged
+    over batch; decoding is sigmoid (+ optional threshold), transposed to
+    (B, O, T).
+    """
+
+    @nn.compact
+    def __call__(self, feats):
+        """(B, T, E) features -> (B, T, dim_out) logits."""
+
+        return nn.Dense(self.dim_out)(feats)
+
+    @nn.nowrap
+    def get_loss(self, estimated, reference):
+        """BCE loss: estimated (B, T, O) logits vs reference (B, O, T)."""
+
+        # (B, T, O) -> (B, O, T)
+        logits = jnp.swapaxes(estimated, -1, -2).astype(jnp.float32)
+
+        loss = optax.sigmoid_binary_cross_entropy(logits, reference.astype(jnp.float32))
+
+        if self.weights is not None:
+            loss = loss * jnp.asarray(self.weights)[..., None]
+
+        # Average across frames, sum across keys, average across batch
+        loss = jnp.mean(loss, axis=-1)
+        loss = jnp.sum(loss, axis=-1)
+
+        return jnp.mean(loss)
+
+    @nn.nowrap
+    def finalize_output(self, raw_output, threshold=None):
+        """(B, T, O) logits -> (B, O, T) activations in [0, 1]."""
+
+        out = super().finalize_output(raw_output)
+
+        out = jax.nn.sigmoid(out)
+        out = jnp.swapaxes(out, -1, -2)
+
+        if threshold is not None:
+            out = jnp.where(out >= threshold, 1.0, 0.0)
+
+        return out

@@ -1,0 +1,331 @@
+"""Onsets & Frames transcription models (V1/V2) in flax.
+
+Re-designs the reference's ``amt_tools/models/onsetsframes.py`` for TPU:
+
+- ``AcousticModel`` (reference ``:330-463``): the Kelz-style conv stack in
+  NHWC layout with flax BatchNorm/Dropout.
+- ``LanguageModel`` (reference ``:466-575``): a bidirectional LSTM as two
+  ``lax.scan`` passes (flax ``nn.RNN``). The reference's 512-frame chunked
+  evaluation with carried state exists only to bound PyTorch's LSTM memory;
+  a scanned LSTM has O(1) activation memory per step under ``jax.checkpoint``
+  semantics, so evaluation always uses the exact full-sequence recurrence
+  (documented divergence: no chunk-boundary artifacts).
+- ``OnlineLanguageModel`` (reference ``:578-659``): unidirectional LSTM with
+  an explicit carry threaded through calls (functional streaming state).
+- ``OnsetsFrames`` / ``OnsetsFrames2`` (reference ``:17-196`` / ``:199-327``):
+  onset (+offset) heads feeding a refined multi-pitch head, with optional
+  gradient detachment between heads.
+"""
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .. import tools
+from .common import TranscriptionModel, LogisticBank
+
+__all__ = [
+    'OnsetsFrames',
+    'OnsetsFrames2',
+    'AcousticModel',
+    'LanguageModel',
+    'OnlineLanguageModel',
+]
+
+
+class AcousticModel(nn.Module):
+    """Kelz-style convolutional acoustic model.
+
+    Input (B, T, F, C) NHWC features; output (B, T, dim_out) embeddings.
+    Three 3x3 conv+BN+ReLU blocks with two 1x2 max-pools over frequency
+    (F -> F/4), dropouts 0.25/0.25, then a dense projection with dropout 0.5.
+    """
+
+    dim_in: int
+    dim_out: int
+    in_channels: int = 1
+    model_complexity: int = 2
+
+    @nn.compact
+    def __call__(self, feats, train=False):
+        nf1 = 16 * self.model_complexity
+        nf3 = 32 * self.model_complexity
+
+        x = feats
+
+        # Block 1: conv + BN + ReLU
+        x = nn.Conv(nf1, (3, 3), padding='SAME')(x)
+        x = nn.BatchNorm(use_running_average=not train)(x)
+        x = nn.relu(x)
+
+        # Block 2: conv + BN + ReLU + 1x2 pool + dropout
+        x = nn.Conv(nf1, (3, 3), padding='SAME')(x)
+        x = nn.BatchNorm(use_running_average=not train)(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (1, 2), strides=(1, 2))
+        x = nn.Dropout(0.25, deterministic=not train)(x)
+
+        # Block 3: conv + BN + ReLU + 1x2 pool + dropout
+        x = nn.Conv(nf3, (3, 3), padding='SAME')(x)
+        x = nn.BatchNorm(use_running_average=not train)(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (1, 2), strides=(1, 2))
+        x = nn.Dropout(0.25, deterministic=not train)(x)
+
+        # (B, T, F/4, nf3) -> (B, T, F/4 * nf3)
+        x = x.reshape(x.shape[:-2] + (-1,))
+
+        x = nn.Dense(self.dim_out)(x)
+        x = nn.Dropout(0.50, deterministic=not train)(x)
+
+        return x
+
+
+class LanguageModel(nn.Module):
+    """LSTM language model refining features over time.
+
+    (B, T, dim_in) -> (B, T, dim_out); bidirectional by default with
+    ``dim_out // 2`` hidden units per direction (reference ``:466-503``).
+    """
+
+    dim_in: int
+    dim_out: int
+    bidirectional: bool = True
+
+    @nn.compact
+    def __call__(self, feats, train=False):
+        hidden = self.dim_out // (2 if self.bidirectional else 1)
+
+        if self.bidirectional:
+            rnn = nn.Bidirectional(nn.RNN(nn.OptimizedLSTMCell(features=hidden)),
+                                   nn.RNN(nn.OptimizedLSTMCell(features=hidden)))
+        else:
+            rnn = nn.RNN(nn.OptimizedLSTMCell(features=hidden))
+
+        return rnn(feats)
+
+
+class OnlineLanguageModel(nn.Module):
+    """Unidirectional LSTM with explicit streaming carry.
+
+    Functional analog of the reference's stateful online LSTM (``:578-659``):
+    the hidden/cell state is passed in and returned instead of mutating the
+    module, so streaming state lives in the caller (see ``inference.py``).
+    """
+
+    dim_in: int
+    dim_out: int
+
+    @nn.nowrap
+    def init_carry(self, batch_size):
+        """Zero (cell, hidden) carry for a new stream."""
+
+        return (jnp.zeros((batch_size, self.dim_out)),
+                jnp.zeros((batch_size, self.dim_out)))
+
+    @nn.compact
+    def __call__(self, feats, carry=None, train=False):
+        rnn = nn.RNN(nn.OptimizedLSTMCell(features=self.dim_out))
+
+        if carry is None:
+            # Whole-sequence (training) path
+            return rnn(feats), None
+
+        new_carry, out = rnn(feats, initial_carry=carry, return_carry=True)
+
+        return out, new_carry
+
+
+class _Heads:
+    """Lightweight param-free output-layer handles for post-processing.
+
+    ``get_loss`` / ``finalize_output`` on the output layers are pure
+    functions, so fresh instances outside ``apply`` are equivalent to the
+    submodules used in the forward pass.
+    """
+
+    @staticmethod
+    def logistic(dim_in, dim_out):
+        return LogisticBank(dim_in=dim_in, dim_out=dim_out)
+
+
+class OnsetsFrames(TranscriptionModel):
+    """Onsets & Frames (V1), arXiv:1710.11153 (reference ``:17-196``).
+
+    Heads: onset = AM -> LM -> logistic; pitch = AM -> logistic;
+    refined pitch = LM -> logistic over concat(onsets, pitch).
+    """
+
+    model_complexity: int = 2
+    detach_heads: bool = False
+
+    @property
+    def dim_am(self):
+        return 256 * self.model_complexity
+
+    @property
+    def dim_lm(self):
+        return 256 * (self.model_complexity - 1)
+
+    @property
+    def dim_out(self):
+        return self.profile.get_range_len()
+
+    @property
+    def dim_aj(self):
+        """Input width of the refinement stage (onsets + pitch)."""
+
+        return 2 * self.dim_out
+
+    @nn.nowrap
+    def pre_proc(self, batch):
+        """(B, C, F, T) features -> (B, T, F, C) NHWC."""
+
+        batch = dict(batch)
+        feats = jnp.asarray(batch[tools.KEY_FEATS])
+        batch[tools.KEY_FEATS] = jnp.transpose(feats, (0, 3, 2, 1))
+
+        return batch
+
+    def setup(self):
+        if self.model_complexity < 2:
+            raise ValueError('OnsetsFrames requires model_complexity >= 2 '
+                             '(the language-model width is 256 * (complexity - 1)).')
+
+        self.onset_am = AcousticModel(self.dim_in, self.dim_am,
+                                      self.in_channels, self.model_complexity)
+        self.onset_lm = LanguageModel(self.dim_am, self.dim_lm)
+        self.onset_out = LogisticBank(dim_in=self.dim_lm, dim_out=self.dim_out)
+
+        self.pitch_am = AcousticModel(self.dim_in, self.dim_am,
+                                      self.in_channels, self.model_complexity)
+        self.pitch_out = LogisticBank(dim_in=self.dim_am, dim_out=self.dim_out)
+
+        self.adjoin_lm = LanguageModel(self.dim_aj, self.dim_lm)
+        self.adjoin_out = LogisticBank(dim_in=self.dim_lm, dim_out=self.dim_out)
+
+    def __call__(self, feats, train=False):
+        output = {}
+
+        # Initial multi-pitch estimate
+        multi_pitch = self.pitch_out(self.pitch_am(feats, train))
+
+        # Onset estimate
+        onsets = self.onset_out(self.onset_lm(self.onset_am(feats, train), train))
+        output[tools.KEY_ONSETS] = onsets
+
+        if self.detach_heads:
+            onsets = jax.lax.stop_gradient(onsets)
+
+        # Refined multi-pitch estimate over the joint activations
+        joint = jnp.concatenate((onsets, multi_pitch), axis=-1)
+        output[tools.KEY_MULTIPITCH] = self.adjoin_out(self.adjoin_lm(joint, train))
+
+        return output
+
+    @nn.nowrap
+    def post_proc(self, batch):
+        """Loss (pitch BCE + onset BCE) and finalized predictions."""
+
+        output = dict(batch[tools.KEY_OUTPUT])
+
+        head = _Heads.logistic(self.dim_lm, self.dim_out)
+
+        onsets_est = output[tools.KEY_ONSETS]
+        multi_pitch_est = output[tools.KEY_MULTIPITCH]
+
+        if tools.KEY_MULTIPITCH in batch:
+            loss = {}
+
+            multi_pitch_ref = batch[tools.KEY_MULTIPITCH]
+            loss[tools.KEY_LOSS_PITCH] = head.get_loss(multi_pitch_est, multi_pitch_ref)
+
+            if tools.KEY_ONSETS in batch:
+                onsets_ref = batch[tools.KEY_ONSETS]
+            else:
+                # Derive onset labels from the reference multi-pitch
+                from ..ops import decode
+                onsets_ref = decode.multi_pitch_to_onsets(multi_pitch_ref)
+
+            loss[tools.KEY_LOSS_ONSETS] = head.get_loss(onsets_est, onsets_ref)
+
+            loss[tools.KEY_LOSS_TOTAL] = (loss[tools.KEY_LOSS_PITCH] +
+                                          loss[tools.KEY_LOSS_ONSETS])
+            output[tools.KEY_LOSS] = loss
+
+        output[tools.KEY_ONSETS] = head.finalize_output(onsets_est, 0.5)
+        output[tools.KEY_MULTIPITCH] = head.finalize_output(multi_pitch_est, 0.5)
+
+        return output
+
+
+class OnsetsFrames2(OnsetsFrames):
+    """Onsets & Frames (V2), arXiv:1810.12247 (reference ``:199-327``).
+
+    Adds an offset head; the refinement stage consumes onsets, offsets, and
+    the initial pitch estimate.
+    """
+
+    model_complexity: int = 3
+    detach_heads: bool = True
+
+    @property
+    def dim_aj(self):
+        """Refinement consumes onsets + offsets + pitch."""
+
+        return 3 * self.dim_out
+
+    def setup(self):
+        super().setup()
+
+        self.offset_am = AcousticModel(self.dim_in, self.dim_am,
+                                       self.in_channels, self.model_complexity)
+        self.offset_lm = LanguageModel(self.dim_am, self.dim_lm)
+        self.offset_out = LogisticBank(dim_in=self.dim_lm, dim_out=self.dim_out)
+
+    def __call__(self, feats, train=False):
+        output = {}
+
+        multi_pitch = self.pitch_out(self.pitch_am(feats, train))
+
+        onsets = self.onset_out(self.onset_lm(self.onset_am(feats, train), train))
+        output[tools.KEY_ONSETS] = onsets
+
+        offsets = self.offset_out(self.offset_lm(self.offset_am(feats, train), train))
+        output[tools.KEY_OFFSETS] = offsets
+
+        if self.detach_heads:
+            onsets = jax.lax.stop_gradient(onsets)
+            offsets = jax.lax.stop_gradient(offsets)
+
+        joint = jnp.concatenate((onsets, offsets, multi_pitch), axis=-1)
+        output[tools.KEY_MULTIPITCH] = self.adjoin_out(self.adjoin_lm(joint, train))
+
+        return output
+
+    @nn.nowrap
+    def post_proc(self, batch):
+        output = super().post_proc(batch)
+
+        head = _Heads.logistic(self.dim_lm, self.dim_out)
+
+        offsets_est = output[tools.KEY_OFFSETS]
+
+        if tools.KEY_LOSS in output:
+            if tools.KEY_OFFSETS in batch:
+                offsets_ref = batch[tools.KEY_OFFSETS]
+            else:
+                from ..ops import decode
+                offsets_ref = decode.multi_pitch_to_offsets(batch[tools.KEY_MULTIPITCH])
+
+            loss = output[tools.KEY_LOSS]
+            loss[tools.KEY_LOSS_OFFSETS] = head.get_loss(offsets_est, offsets_ref)
+            loss[tools.KEY_LOSS_TOTAL] = (loss[tools.KEY_LOSS_TOTAL] +
+                                          loss[tools.KEY_LOSS_OFFSETS])
+            output[tools.KEY_LOSS] = loss
+
+        output[tools.KEY_OFFSETS] = head.finalize_output(offsets_est)
+
+        return output

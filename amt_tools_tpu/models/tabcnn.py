@@ -1,0 +1,120 @@
+"""TabCNN guitar tablature model in flax.
+
+Re-design of the reference's ``amt_tools/models/tabcnn.py:11-221`` (ISMIR
+2019). Key TPU fix: the reference framifies features on the host every batch
+with a GPU -> numpy -> GPU round trip (``tabcnn.py:122-127``); here the
+9-frame context windows are built inside the compiled graph
+(``ops.frames.framify``) so the whole pre_proc -> forward path fuses under
+``jit``. Convolutions run in NHWC with the context window and frequency as
+the spatial dims.
+"""
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .. import tools
+from ..ops import frames as frame_ops
+from .common import TranscriptionModel, SoftmaxGroups
+
+__all__ = ['TabCNN']
+
+
+class TabCNN(TranscriptionModel):
+    """Per-frame context-window CNN with softmax-group tablature output."""
+
+    frame_width: int = 9
+    online: bool = False
+
+    @property
+    def num_groups(self):
+        return self.profile.get_num_dofs()
+
+    @property
+    def num_classes(self):
+        return self.profile.num_pitches + 1
+
+    @nn.nowrap
+    def pre_proc(self, batch):
+        """Window features: (B, C, F, T) -> (B, T, F, W, C) context windows.
+
+        In online mode incoming features already span exactly one window, so
+        no padding is applied (reference ``tabcnn.py:89-98``).
+        """
+
+        batch = dict(batch)
+        feats = jnp.asarray(batch[tools.KEY_FEATS])
+
+        # (B, C, F, T) -> (B, C, F, T', W)
+        feats = frame_ops.framify(feats, self.frame_width, pad=(not self.online))
+
+        # -> (B, T', F, W, C): time-major windows in NHWC (F, W are spatial)
+        feats = jnp.transpose(feats, (0, 3, 2, 4, 1))
+
+        batch[tools.KEY_FEATS] = feats
+
+        return batch
+
+    def setup(self):
+        nf1 = 32 * self.model_complexity
+        nf2 = 64 * self.model_complexity
+
+        self.conv1 = nn.Conv(nf1, (3, 3), padding='VALID')
+        self.conv2 = nn.Conv(nf2, (3, 3), padding='VALID')
+        self.conv3 = nn.Conv(nf2, (3, 3), padding='VALID')
+        self.dense1 = nn.Dense(128 * self.model_complexity)
+        self.dropout1 = nn.Dropout(0.25)
+        self.dropout2 = nn.Dropout(0.50)
+        self.tablature_out = SoftmaxGroups(
+            dim_in=128 * self.model_complexity,
+            dim_out=self.num_groups * self.num_classes,
+            num_groups=self.num_groups,
+            num_classes=self.num_classes)
+
+    def __call__(self, feats, train=False):
+        """(B, T, F, W, C) windows -> dict with (B, T, G*C) tablature logits."""
+
+        output = {}
+
+        batch_size, num_frames = feats.shape[0], feats.shape[1]
+
+        # Collapse the window axis into the batch: each context window is an
+        # independent sample through the conv stack
+        x = feats.reshape((-1,) + feats.shape[2:])
+
+        x = nn.relu(self.conv1(x))
+        x = nn.relu(self.conv2(x))
+        x = nn.relu(self.conv3(x))
+        x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        x = self.dropout1(x, deterministic=not train)
+
+        # Flatten spatial features into one embedding per window
+        x = x.reshape((batch_size, num_frames, -1))
+
+        x = nn.relu(self.dense1(x))
+        x = self.dropout2(x, deterministic=not train)
+
+        output[tools.KEY_TABLATURE] = self.tablature_out(x)
+
+        return output
+
+    @nn.nowrap
+    def post_proc(self, batch):
+        """Tablature CE loss and argmax decoding."""
+
+        output = dict(batch[tools.KEY_OUTPUT])
+
+        head = SoftmaxGroups(dim_in=128 * self.model_complexity,
+                             dim_out=self.num_groups * self.num_classes,
+                             num_groups=self.num_groups,
+                             num_classes=self.num_classes)
+
+        tablature_est = output[tools.KEY_TABLATURE]
+
+        if tools.KEY_TABLATURE in batch:
+            tablature_ref = batch[tools.KEY_TABLATURE]
+            loss = head.get_loss(tablature_est, tablature_ref)
+            output[tools.KEY_LOSS] = {tools.KEY_LOSS_TOTAL: loss}
+
+        output[tools.KEY_TABLATURE] = head.finalize_output(tablature_est)
+
+        return output
