@@ -10,5 +10,15 @@ parallelism) rather than translated from the reference's PyTorch patterns.
 __version__ = '0.1.0'
 
 from . import tools
+from . import ops
+from . import features
+from . import models
+from . import metrics
+from . import transcribe
+from . import evaluate
+from . import inference
+from . import train
+from . import parallel
 
-__all__ = ['tools']
+__all__ = ['tools', 'ops', 'features', 'models', 'metrics', 'transcribe',
+           'evaluate', 'inference', 'train', 'parallel']

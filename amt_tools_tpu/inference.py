@@ -1,0 +1,109 @@
+"""Offline and mock-real-time (online) inference entry points.
+
+Capability parity with the reference's ``amt_tools/inference.py:12-146``. In
+the functional design, model parameters (``variables``) are passed explicitly
+and the forward pipeline is jit-compiled once per feature shape — the online
+loop re-uses the compiled per-frame step, so dispatch overhead stays constant.
+
+Divergence from the reference: accumulated note predictions keep the (N, 3)
+batched-note convention throughout (the reference accumulates transposed
+(3, N) arrays and fixes them up afterwards, ``inference.py:136-140``).
+"""
+
+import numpy as np
+
+from . import tools
+from .models.common import run_on_batch
+
+__all__ = [
+    'run_offline',
+    'run_single_frame',
+    'run_online',
+]
+
+
+def _predict(model, variables, batch):
+    """Run the model pipeline on a device batch and pull results to host."""
+
+    output, _ = run_on_batch(model, variables, batch, train=False)
+
+    return tools.dict_squeeze(tools.dict_to_array(output), dim=0)
+
+
+def run_offline(track_data, model, variables, estimator=None):
+    """Whole-track inference: features -> predictions -> (estimates)."""
+
+    track_id = tools.unpack_dict(track_data, tools.KEY_TRACK)
+
+    track_data = tools.dict_to_dtype(track_data, dtype=tools.FLOAT32)
+
+    # Treat the track as a batch of one
+    batch = tools.dict_unsqueeze(tools.dict_to_jax(
+        {k: v for k, v in track_data.items() if tools.utils._is_array(v)}))
+
+    predictions = _predict(model, variables, batch)
+
+    if estimator is not None:
+        predictions.update(estimator.process_track(predictions, track_id))
+
+    return predictions
+
+
+def run_single_frame(track_data, model, variables, estimator=None):
+    """Inference on a single (batched) frame group."""
+
+    track_id = tools.unpack_dict(track_data, tools.KEY_TRACK)
+
+    track_data = tools.dict_to_dtype(track_data, dtype=tools.FLOAT32)
+    batch = tools.dict_to_jax(
+        {k: v for k, v in track_data.items() if tools.utils._is_array(v)})
+
+    new_predictions = _predict(model, variables, batch)
+
+    if estimator is not None:
+        new_predictions.update(estimator.process_track(new_predictions, track_id))
+
+    return new_predictions
+
+
+def run_online(track_data, model, variables, estimator=None):
+    """Mock-real-time inference: feed one frame group at a time.
+
+    Features are windowed by the model's ``frame_width`` and each window is
+    processed independently (stateful estimators such as
+    ``IterativeNoteTranscriber`` accumulate notes across calls).
+    """
+
+    features = tools.unpack_dict(track_data, tools.KEY_FEATS)
+    times = tools.unpack_dict(track_data, tools.KEY_TIMES)
+
+    num_frame_groups = features.shape[-1]
+
+    # Window the features to mimic real-time operation
+    features = tools.framify_activations(np.asarray(features), model.frame_width)
+
+    predictions = {}
+    note_chunks = []
+
+    for i in range(num_frame_groups):
+        batch = tools.dict_unsqueeze({
+            tools.KEY_FEATS: features[..., i, :],
+            tools.KEY_TIMES: times[..., i: i + 1],
+        })
+
+        new_predictions = run_single_frame(batch, model, variables, estimator)
+
+        # Accumulate notes separately: they are ragged (N, 3) collections
+        if tools.query_dict(new_predictions, tools.KEY_NOTES):
+            note_chunks.append(np.asarray(new_predictions.pop(tools.KEY_NOTES)).reshape(-1, 3))
+
+        predictions = tools.dict_append(predictions, new_predictions)
+
+    if note_chunks:
+        predictions[tools.KEY_NOTES] = np.concatenate(note_chunks, axis=0)
+
+    if estimator is not None:
+        # Reset streaming state for the next track
+        estimator.reset_state()
+
+    return predictions

@@ -1,0 +1,13 @@
+"""Parallelism: device meshes, sharding rules, and multi-host setup.
+
+The reference is strictly single-device (an unresolved multi-GPU TODO at its
+``train.py:62-64``); here data parallelism over a ``jax.sharding.Mesh`` is a
+first-class component — batches shard over the ``data`` axis, parameters are
+replicated, and XLA inserts the gradient ``psum`` over ICI automatically.
+"""
+
+from .mesh import (get_mesh, shard_batch, replicate, data_parallel_shardings,
+                   local_batch_to_global)
+
+__all__ = ['get_mesh', 'shard_batch', 'replicate', 'data_parallel_shardings',
+           'local_batch_to_global']

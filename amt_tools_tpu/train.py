@@ -1,0 +1,318 @@
+"""Training loop: jitted data-parallel steps, orbax checkpointing, resume.
+
+Functional re-design of the reference's ``amt_tools/train.py:19-191``:
+
+- The mutable PyTorch loop (zero_grad -> backward -> step) becomes a single
+  jitted ``train_step`` (value_and_grad over the total loss + optax update)
+  with donated state, compiled once and reused every batch.
+- ``torch.save(model)`` whole-object pickles become orbax state checkpoints
+  (params + batch stats + optimizer state + step + RNG key — the reference
+  leaves dataset RNG state unsaved, its ``train.py:170`` TODO).
+- Resume scans the checkpoint directory with the same latest-first semantics
+  (``train.py:72-113``).
+- Data parallelism: pass a ``jax.sharding.Mesh``; batches shard over the
+  ``data`` axis and XLA inserts the gradient all-reduce (first-class here,
+  an open TODO in the reference at ``train.py:62-64``).
+"""
+
+import os
+import re
+from typing import Any
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from flax.core import freeze, unfreeze
+
+from . import tools
+from .evaluate import validate, append_results, average_results, log_results
+from .models.common import run_on_batch
+
+__all__ = [
+    'TrainState',
+    'init_state',
+    'make_train_step',
+    'train',
+    'save_checkpoint',
+    'load_checkpoint',
+    'latest_checkpoint',
+]
+
+
+class TrainState(struct.PyTreeNode):
+    """Complete training state: everything needed to resume exactly."""
+
+    step: jnp.ndarray
+    params: Any = struct.field(pytree_node=True)
+    batch_stats: Any = struct.field(pytree_node=True)
+    opt_state: Any = struct.field(pytree_node=True)
+    rng: jnp.ndarray = None
+
+    def variables(self):
+        """Flax variable collections for model application."""
+
+        variables = {'params': self.params}
+        if self.batch_stats:
+            variables['batch_stats'] = self.batch_stats
+
+        return variables
+
+
+def init_state(model, optimizer, example_batch, rng=None):
+    """Initialize parameters, batch statistics, and optimizer state."""
+
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+
+    init_rng, dropout_rng, state_rng = jax.random.split(rng, 3)
+
+    batch = model.pre_proc(dict(example_batch))
+    variables = model.init({'params': init_rng, 'dropout': dropout_rng},
+                           batch[tools.KEY_FEATS], train=False)
+
+    params = variables['params']
+    batch_stats = variables.get('batch_stats', {})
+
+    opt_state = optimizer.init(params)
+
+    return TrainState(step=jnp.asarray(0), params=params,
+                      batch_stats=batch_stats, opt_state=opt_state,
+                      rng=state_rng)
+
+
+def make_train_step(model, optimizer, mesh=None, donate=True):
+    """Build the jitted training step for a model + optimizer pair.
+
+    With a mesh, inputs are expected sharded (``parallel.shard_batch``) and
+    XLA emits the gradient ``psum`` over the ``data`` axis automatically.
+    """
+
+    def train_step(state, batch):
+        step_rng = jax.random.fold_in(state.rng, state.step)
+
+        def loss_fn(params):
+            variables = {'params': params}
+            if state.batch_stats:
+                variables['batch_stats'] = state.batch_stats
+
+            output, mutated = run_on_batch(model, variables, batch, train=True,
+                                           rngs={'dropout': step_rng})
+
+            loss = output[tools.KEY_LOSS]
+
+            return loss[tools.KEY_LOSS_TOTAL], (loss, mutated)
+
+        grads, (loss, mutated) = jax.grad(loss_fn, has_aux=True)(state.params)
+
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+
+        new_state = state.replace(
+            step=state.step + 1,
+            params=params,
+            batch_stats=mutated.get('batch_stats', state.batch_stats),
+            opt_state=opt_state)
+
+        return new_state, loss
+
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+
+##################################################
+# CHECKPOINTING                                  #
+##################################################
+
+
+def _checkpoint_path(log_dir, iteration):
+    return os.path.join(os.path.abspath(log_dir),
+                        f'{tools.MODEL_STATE}-{iteration}.{tools.CKPT_EXT}')
+
+
+def save_checkpoint(state, log_dir, iteration):
+    """Save the full training state under ``log_dir/model-<iter>.ckpt``."""
+
+    import orbax.checkpoint as ocp
+
+    path = _checkpoint_path(log_dir, iteration)
+
+    checkpointer = ocp.StandardCheckpointer()
+    checkpointer.save(path, jax.device_get(state), force=True)
+    checkpointer.wait_until_finished()
+
+    return path
+
+
+def latest_checkpoint(log_dir, max_iteration=None):
+    """Find the newest checkpoint (optionally capped at ``max_iteration``).
+
+    Returns ``(path, iteration)`` or ``(None, 0)``.
+    """
+
+    if not os.path.isdir(log_dir):
+        return None, 0
+
+    pattern = re.compile(rf'^{tools.MODEL_STATE}-(\d+)\.{tools.CKPT_EXT}$')
+
+    candidates = []
+    for name in os.listdir(log_dir):
+        match = pattern.match(name)
+        if match:
+            iteration = int(match.group(1))
+            if max_iteration is None or iteration <= max_iteration:
+                candidates.append((iteration, name))
+
+    if not candidates:
+        return None, 0
+
+    iteration, name = max(candidates)
+
+    return os.path.join(os.path.abspath(log_dir), name), iteration
+
+
+def load_checkpoint(path, abstract_state):
+    """Restore a training state saved by :func:`save_checkpoint`."""
+
+    import orbax.checkpoint as ocp
+
+    checkpointer = ocp.StandardCheckpointer()
+
+    return checkpointer.restore(path, abstract_state)
+
+
+##################################################
+# TRAIN LOOP                                     #
+##################################################
+
+
+def train(model, train_loader, optimizer, iterations, checkpoints=0,
+          log_dir='.', scheduler=None, resume=True, single_batch=False,
+          val_set=None, estimator=None, evaluator=None, vis_fnc=None,
+          state=None, rng=None, mesh=None, writer=None):
+    """Training loop (signature-compatible with the reference ``train()``).
+
+    Parameters mirror ``train.py:19-60`` of the reference; JAX-specific
+    additions: ``state`` (a prepared TrainState), ``rng`` (seed key),
+    ``mesh`` (data-parallel device mesh), ``writer`` (any object with
+    ``add_scalar``; defaults to tensorboardX if available, else a no-op).
+
+    ``scheduler`` is accepted for API parity; with optax, learning-rate
+    schedules should be baked into the optimizer (``optax.scale_by_schedule``
+    / schedule functions), so a non-None scheduler raises.
+
+    Returns the final TrainState.
+    """
+
+    if scheduler is not None:
+        raise ValueError('Learning-rate schedules are baked into the optax '
+                         'optimizer; pass scheduler=None.')
+
+    os.makedirs(log_dir, exist_ok=True)
+
+    if writer is None:
+        writer = _make_writer(log_dir)
+
+    # Peek one batch to initialize state; the loader must be re-iterable
+    # (each outer iteration makes one pass over it)
+    first_batch = next(iter(train_loader))
+    device_first = _place_batch(first_batch, mesh)
+
+    if state is None:
+        state = init_state(model, optimizer, device_first, rng=rng)
+        if mesh is not None:
+            from .parallel import replicate
+            state = state.replace(
+                params=replicate(state.params, mesh),
+                batch_stats=replicate(state.batch_stats, mesh),
+                opt_state=replicate(state.opt_state, mesh))
+
+    start_iter = 0
+
+    if resume:
+        path, ckpt_iter = latest_checkpoint(log_dir, max_iteration=iterations)
+        if path is not None:
+            state = load_checkpoint(path, jax.device_get(state))
+            state = jax.tree_util.tree_map(jnp.asarray, state)
+            start_iter = ckpt_iter
+
+    train_step = make_train_step(model, optimizer, mesh=mesh)
+
+    for global_iter in range(start_iter, iterations):
+        train_loss = dict()
+
+        # Loop through the dataset (one pass per outer iteration)
+        for batch in train_loader:
+            device_batch = _place_batch(batch, mesh)
+
+            state, loss = train_step(state, device_batch)
+
+            train_loss = append_results(
+                train_loss, {k: np.asarray(v) for k, v in loss.items()})
+
+            if single_batch:
+                break
+
+        train_loss = average_results(train_loss)
+        log_results(train_loss, writer, step=global_iter + 1,
+                    tag=f'{tools.TRAIN}/{tools.KEY_LOSS}')
+
+        local_iter = global_iter - start_iter
+
+        if checkpoints == 0:
+            checkpoint = False
+        else:
+            checkpoint = (local_iter + 1) % max(1, iterations // checkpoints) == 0
+
+        done_training = (global_iter + 1) == iterations
+
+        if checkpoint or done_training:
+            save_checkpoint(state, log_dir, global_iter + 1)
+
+            if vis_fnc is not None:
+                vis_fnc(model, state, global_iter + 1)
+
+            if checkpoint and val_set is not None and evaluator is not None:
+                validate(model, state.variables(), val_set, evaluator, estimator)
+                evaluator.finalize(writer, global_iter + 1)
+
+    return state
+
+
+def _trainable_batch(batch):
+    """Strip unbatchable entries (track ids, notes, pitch lists) from a batch."""
+
+    return {k: v for k, v in batch.items()
+            if tools.utils._is_array(v) and k not in
+            (tools.KEY_NOTES, tools.KEY_PITCHLIST, tools.KEY_TRACK)}
+
+
+def _place_batch(batch, mesh):
+    """Move a host batch onto device(s)."""
+
+    batch = _trainable_batch(batch)
+
+    if mesh is not None:
+        from .parallel import shard_batch
+        return shard_batch(batch, mesh)
+
+    return tools.dict_to_jax(batch)
+
+
+class _NullWriter:
+    """No-op scalar writer used when tensorboardX is unavailable."""
+
+    def add_scalar(self, *args, **kwargs):
+        pass
+
+    def close(self):
+        pass
+
+
+def _make_writer(log_dir):
+    try:
+        from tensorboardX import SummaryWriter
+        return SummaryWriter(log_dir)
+    except Exception:
+        return _NullWriter()

@@ -6,13 +6,18 @@ virtual host devices (`xla_force_host_platform_device_count=8`).
 
 import os
 
-# Must be set before jax is imported anywhere
-os.environ.setdefault('JAX_PLATFORMS', 'cpu')
+# Must be set before jax is imported anywhere. Unconditional: the machine
+# environment pins JAX_PLATFORMS=axon (the real TPU), but tests are hermetic.
+os.environ['JAX_PLATFORMS'] = 'cpu'
 flags = os.environ.get('XLA_FLAGS', '')
 if 'xla_force_host_platform_device_count' not in flags:
     os.environ['XLA_FLAGS'] = (flags + ' --xla_force_host_platform_device_count=8').strip()
 
 import jax
+
+# The env var alone does not keep the axon TPU plugin from claiming the
+# backend; the config update does.
+jax.config.update('jax_platforms', 'cpu')
 
 # Persistent compilation cache: XLA compiles are slow on this CPU (~1-4 s per
 # unique op); caching makes repeat test runs cheap.

@@ -1,0 +1,164 @@
+"""Training loop tests: loss decrease, checkpoint/resume, data parallelism."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from amt_tools_tpu import tools
+from amt_tools_tpu.tools.instrument import GuitarProfile
+from amt_tools_tpu.models import TabCNN
+from amt_tools_tpu.train import (train, init_state, make_train_step,
+                                 save_checkpoint, load_checkpoint,
+                                 latest_checkpoint, TrainState)
+from amt_tools_tpu.parallel import get_mesh, shard_batch, replicate
+
+
+@pytest.fixture(scope='module')
+def setup():
+    """Tiny TabCNN + a fixed synthetic batch the model can overfit."""
+
+    profile = GuitarProfile()
+    model = TabCNN(dim_in=48, profile=profile, model_complexity=1)
+
+    rng = np.random.RandomState(0)
+    batch = {
+        tools.KEY_FEATS: rng.rand(4, 1, 48, 8).astype(np.float32),
+        tools.KEY_TABLATURE: rng.randint(-1, 20, (4, 6, 8)).astype(np.float32),
+    }
+
+    return model, batch
+
+
+class _Loader:
+    """Minimal re-iterable loader over a list of batches."""
+
+    def __init__(self, batches):
+        self.batches = batches
+
+    def __iter__(self):
+        return iter(self.batches)
+
+
+def test_train_step_reduces_loss(setup):
+    model, batch = setup
+    optimizer = optax.adam(1e-3)
+
+    device_batch = tools.dict_to_jax(batch)
+    state = init_state(model, optimizer, device_batch, rng=jax.random.PRNGKey(0))
+    step = make_train_step(model, optimizer, donate=False)
+
+    state, first_loss = step(state, device_batch)
+    for _ in range(30):
+        state, loss = step(state, device_batch)
+
+    assert float(loss[tools.KEY_LOSS_TOTAL]) < float(first_loss[tools.KEY_LOSS_TOTAL])
+    assert int(state.step) == 31
+
+
+def test_train_loop_and_resume(setup, tmp_path):
+    model, batch = setup
+    optimizer = optax.adam(1e-3)
+    log_dir = str(tmp_path / 'run')
+
+    loader = _Loader([batch])
+
+    # Train for 4 iterations with 2 checkpoints
+    state = train(model, loader, optimizer, iterations=4, checkpoints=2,
+                  log_dir=log_dir, rng=jax.random.PRNGKey(0))
+    assert int(state.step) == 4
+
+    path, it = latest_checkpoint(log_dir)
+    assert it == 4 and path is not None
+
+    # Resume to 6 iterations: should pick up from 4
+    state2 = train(model, loader, optimizer, iterations=6, checkpoints=0,
+                   log_dir=log_dir, rng=jax.random.PRNGKey(1))
+    assert int(state2.step) == 6
+
+    _, it2 = latest_checkpoint(log_dir)
+    assert it2 == 6
+
+
+def test_checkpoint_roundtrip(setup, tmp_path):
+    model, batch = setup
+    optimizer = optax.adam(1e-3)
+
+    device_batch = tools.dict_to_jax(batch)
+    state = init_state(model, optimizer, device_batch, rng=jax.random.PRNGKey(0))
+
+    path = save_checkpoint(state, str(tmp_path), 7)
+    assert os.path.exists(path)
+
+    restored = load_checkpoint(path, jax.device_get(state))
+    assert int(np.asarray(restored.step)) == 0
+
+    # Parameters identical after restore
+    orig = jax.tree_util.tree_leaves(jax.device_get(state.params))
+    back = jax.tree_util.tree_leaves(restored.params)
+    for a, b in zip(orig, back):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_data_parallel_step_matches_single_device(setup):
+    """The sharded 8-device step must compute the same loss/update as the
+    single-device step on the same global batch."""
+
+    model, batch = setup
+    optimizer = optax.adam(1e-3)
+
+    assert jax.device_count() == 8
+    mesh = get_mesh()
+
+    # Global batch of 8 (divisible by mesh)
+    rng = np.random.RandomState(1)
+    big_batch = {
+        tools.KEY_FEATS: rng.rand(8, 1, 48, 8).astype(np.float32),
+        tools.KEY_TABLATURE: rng.randint(-1, 20, (8, 6, 8)).astype(np.float32),
+    }
+
+    device_batch = tools.dict_to_jax(big_batch)
+    state = init_state(model, optimizer, device_batch, rng=jax.random.PRNGKey(0))
+    step = make_train_step(model, optimizer, donate=False)
+    _, loss_single = step(state, device_batch)
+
+    sharded_batch = shard_batch(big_batch, mesh)
+    sharded_state = TrainState(
+        step=state.step,
+        params=replicate(state.params, mesh),
+        batch_stats=replicate(state.batch_stats, mesh) if state.batch_stats else {},
+        opt_state=replicate(state.opt_state, mesh),
+        rng=state.rng)
+    step_dp = make_train_step(model, optimizer, mesh=mesh, donate=False)
+    new_state, loss_dp = step_dp(sharded_state, sharded_batch)
+
+    np.testing.assert_allclose(float(loss_dp[tools.KEY_LOSS_TOTAL]),
+                               float(loss_single[tools.KEY_LOSS_TOTAL]),
+                               rtol=1e-5)
+
+    # Updated parameters agree across the strategies
+    leaves_a = jax.tree_util.tree_leaves(jax.device_get(step(state, device_batch)[0].params))
+    leaves_b = jax.tree_util.tree_leaves(jax.device_get(new_state.params))
+    for a, b in zip(leaves_a, leaves_b):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_train_loop_data_parallel(setup, tmp_path):
+    model, _ = setup
+    optimizer = optax.adam(1e-3)
+    mesh = get_mesh()
+
+    rng = np.random.RandomState(2)
+    batch = {
+        tools.KEY_FEATS: rng.rand(8, 1, 48, 8).astype(np.float32),
+        tools.KEY_TABLATURE: rng.randint(-1, 20, (8, 6, 8)).astype(np.float32),
+    }
+
+    state = train(model, _Loader([batch]), optimizer, iterations=2,
+                  log_dir=str(tmp_path / 'dp'), mesh=mesh,
+                  rng=jax.random.PRNGKey(0))
+    assert int(state.step) == 2
