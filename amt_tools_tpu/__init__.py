@@ -13,6 +13,7 @@ from . import tools
 from . import ops
 from . import features
 from . import models
+from . import datasets
 from . import metrics
 from . import transcribe
 from . import evaluate
@@ -20,5 +21,5 @@ from . import inference
 from . import train
 from . import parallel
 
-__all__ = ['tools', 'ops', 'features', 'models', 'metrics', 'transcribe',
-           'evaluate', 'inference', 'train', 'parallel']
+__all__ = ['tools', 'ops', 'features', 'models', 'datasets', 'metrics',
+           'transcribe', 'evaluate', 'inference', 'train', 'parallel']
