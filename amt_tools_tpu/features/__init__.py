@@ -8,6 +8,8 @@ from .cqt import CQT, VQT
 from .hcqt import HCQT, HVQT
 from .power import SignalPower
 from .combo import FeatureCombo
+from .stream import FeatureStream, MicrophoneStream, AudioStream, AudioFileStream
 
 __all__ = ['FeatureModule', 'WaveformWrapper', 'STFT', 'MelSpec', 'CQT', 'VQT',
-           'HCQT', 'HVQT', 'SignalPower', 'FeatureCombo']
+           'HCQT', 'HVQT', 'SignalPower', 'FeatureCombo', 'FeatureStream',
+           'MicrophoneStream', 'AudioStream', 'AudioFileStream']
