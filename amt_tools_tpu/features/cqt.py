@@ -22,7 +22,7 @@ class VQT(FeatureModule):
 
     def __init__(self, sample_rate=22050, hop_length=512, decibels=True,
                  fmin=None, n_bins=84, bins_per_octave=12, gamma=None,
-                 frame_chunk=256):
+                 frame_chunk=256, use_pallas='auto'):
         super().__init__(sample_rate, hop_length, 1, decibels)
 
         if fmin is None:
@@ -52,10 +52,41 @@ class VQT(FeatureModule):
         self._kernel, self._support = spectral.wavelet_bank(
             freqs, sample_rate, alpha=self.alpha, gamma=self.gamma)
 
+        self.use_pallas = use_pallas
+
+    def _pallas_enabled(self):
+        """Whether to use the fused Pallas kernel (12x less HBM traffic)."""
+
+        from ..ops.pallas_cqt import pallas_cqt_supported
+
+        if self.use_pallas == 'auto':
+            return pallas_cqt_supported(self._support, self.hop_length)
+
+        return bool(self.use_pallas)
+
     def process_jax(self, audio):
-        mag = spectral.cqt_mag(jnp.asarray(audio), jnp.asarray(self._kernel),
-                               self._support, self.hop_length,
-                               frame_chunk=self.frame_chunk)
+        audio = jnp.asarray(audio)
+
+        if self._pallas_enabled():
+            from ..ops.pallas_cqt import cqt_mag_pallas
+
+            if audio.ndim == 1:
+                mag = cqt_mag_pallas(audio, jnp.asarray(self._kernel),
+                                     self._support, self.hop_length)
+            else:
+                # Batched audio: vmap the fused kernel over lead axes
+                import jax
+
+                lead = audio.shape[:-1]
+                flat = audio.reshape((-1, audio.shape[-1]))
+                mag = jax.vmap(lambda a: cqt_mag_pallas(
+                    a, jnp.asarray(self._kernel), self._support,
+                    self.hop_length))(flat)
+                mag = mag.reshape(lead + mag.shape[1:])
+        else:
+            mag = spectral.cqt_mag(audio, jnp.asarray(self._kernel),
+                                   self._support, self.hop_length,
+                                   frame_chunk=self.frame_chunk)
 
         return self.post_proc(mag)
 
@@ -78,8 +109,9 @@ class CQT(VQT):
     """Constant-Q transform: a VQT with gamma = 0."""
 
     def __init__(self, sample_rate=22050, hop_length=512, decibels=True,
-                 fmin=None, n_bins=84, bins_per_octave=12, frame_chunk=256):
+                 fmin=None, n_bins=84, bins_per_octave=12, frame_chunk=256,
+                 use_pallas='auto'):
         super().__init__(sample_rate=sample_rate, hop_length=hop_length,
                          decibels=decibels, fmin=fmin, n_bins=n_bins,
                          bins_per_octave=bins_per_octave, gamma=0.0,
-                         frame_chunk=frame_chunk)
+                         frame_chunk=frame_chunk, use_pallas=use_pallas)

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from .. import tools
+from ..ops.lstm import FastLSTM, FastBiLSTM
 from .common import TranscriptionModel, LogisticBank
 
 __all__ = [
@@ -98,13 +99,11 @@ class LanguageModel(nn.Module):
     def __call__(self, feats, train=False):
         hidden = self.dim_out // (2 if self.bidirectional else 1)
 
+        # TPU-optimized scan LSTM with hoisted input projections (ops/lstm.py)
         if self.bidirectional:
-            rnn = nn.Bidirectional(nn.RNN(nn.OptimizedLSTMCell(features=hidden)),
-                                   nn.RNN(nn.OptimizedLSTMCell(features=hidden)))
-        else:
-            rnn = nn.RNN(nn.OptimizedLSTMCell(features=hidden))
+            return FastBiLSTM(features=hidden)(feats)
 
-        return rnn(feats)
+        return FastLSTM(features=hidden)(feats)
 
 
 class OnlineLanguageModel(nn.Module):
@@ -127,7 +126,7 @@ class OnlineLanguageModel(nn.Module):
 
     @nn.compact
     def __call__(self, feats, carry=None, train=False):
-        rnn = nn.RNN(nn.OptimizedLSTMCell(features=self.dim_out))
+        rnn = FastLSTM(features=self.dim_out)
 
         if carry is None:
             # Whole-sequence (training) path

@@ -1,0 +1,135 @@
+"""Pallas TPU kernel: fused framing + wavelet-bank contraction for CQT/VQT.
+
+The XLA path (``ops.spectral.cqt_mag``) gathers overlapping audio frames into
+a (T, support) matrix before the matmul — at hop 512 and support 32768 every
+audio sample is duplicated **64x** in HBM traffic. This kernel instead keeps
+the raw audio in HBM, element-indexes each (frame-block, support-tile) span
+straight into VMEM, builds the frame patch there, and accumulates the
+contraction against the wavelet kernel tile-by-tile:
+
+    grid = (num_frame_blocks, num_support_tiles)
+    block job: frames[block, tile] (BLOCK_T x TILE_S)  built in VMEM
+               @ kernel[tile]      (TILE_S x 2K)       pipelined by BlockSpec
+               += acc              (BLOCK_T x 2K)      VMEM scratch
+
+The magnitude |re + j im| is written on the last support tile. Audio is
+pre-padded so every span is in bounds.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+try:  # Element-indexed block dims (overlapping spans)
+    from jax.experimental.pallas import Element
+except ImportError:
+    from jax._src.pallas.core import Element
+
+__all__ = ['cqt_mag_pallas', 'pallas_cqt_supported']
+
+
+def pallas_cqt_supported(max_length, hop_length, tile_s=2048):
+    """Whether the fused kernel's tiling constraints hold for these params.
+
+    Requires lane-aligned (128) hop, tile_s a multiple of hop, and tile_s
+    dividing the bank support.
+    """
+
+    import jax
+
+    if jax.default_backend() not in ('tpu', 'axon'):
+        return False
+
+    return (hop_length % 128 == 0 and tile_s % hop_length == 0 and
+            max_length % tile_s == 0)
+
+
+def _cqt_kernel(audio_ref, kernel_ref, out_ref, patch_ref, acc_ref, *,
+                block_t, tile_s, hop_length, n_bins):
+    """One (frame-block i, support-tile j) step of the fused contraction."""
+
+    j = pl.program_id(1)
+    num_tiles = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    # Build the (block_t, tile_s) patch in VMEM scratch: frame r of this
+    # block covers audio span samples [r * hop, r * hop + tile_s)
+    def build_row(r, _):
+        patch_ref[r, :] = audio_ref[0, pl.ds(r * hop_length, tile_s)]
+        return 0
+
+    jax.lax.fori_loop(0, block_t, build_row, 0)
+
+    acc_ref[...] += jnp.dot(patch_ref[...], kernel_ref[...],
+                            preferred_element_type=jnp.float32)
+
+    @pl.when(j == num_tiles - 1)
+    def _():
+        re = acc_ref[:, :n_bins]
+        im = acc_ref[:, n_bins:]
+        out_ref[...] = jnp.sqrt(re * re + im * im)
+
+
+@functools.partial(jax.jit, static_argnames=('max_length', 'hop_length',
+                                             'block_t', 'tile_s', 'interpret'))
+def cqt_mag_pallas(audio, kernel, max_length, hop_length, block_t=64,
+                   tile_s=2048, interpret=False):
+    """Fused CQT magnitudes: (N,) audio -> (n_bins, T) without HBM framing.
+
+    ``kernel`` is the (max_length, 2 * n_bins) real wavelet bank from
+    ``ops.spectral.wavelet_bank``. ``tile_s`` must divide ``max_length`` and
+    be a multiple of ``hop_length``.
+    """
+
+    if max_length % tile_s or tile_s % hop_length:
+        raise ValueError('tile_s must divide max_length and be a multiple '
+                         'of hop_length')
+
+    audio = jnp.asarray(audio)
+    kernel = jnp.asarray(kernel)
+    n_bins = kernel.shape[-1] // 2
+
+    num_samples = audio.shape[-1]
+    num_frames = 1 + num_samples // hop_length
+
+    num_blocks = -(-num_frames // block_t)
+
+    # Center padding plus tail so every span is in bounds
+    pad_left = max_length // 2
+    span = (block_t - 1) * hop_length + tile_s
+    total = (num_blocks * block_t - 1) * hop_length + max_length
+    audio = jnp.pad(audio, (pad_left,
+                            max(0, total - pad_left - num_samples) + span))
+    audio = audio[None, :]  # 2-D layout for the TPU
+
+    num_tiles = max_length // tile_s
+    grid = (num_blocks, num_tiles)
+
+    out = pl.pallas_call(
+        functools.partial(_cqt_kernel, block_t=block_t, tile_s=tile_s,
+                          hop_length=hop_length, n_bins=n_bins),
+        grid=grid,
+        in_specs=[
+            # Overlapping audio span for (block i, tile j), element-indexed.
+            # hop and tile_s are multiples of 128, so the offset is lane-aligned
+            pl.BlockSpec((Element(1), Element(span)),
+                         lambda i, j: (0, pl.multiple_of(
+                             i * block_t * hop_length + j * tile_s, 128))),
+            # Wavelet kernel tile j (pipelined HBM -> VMEM)
+            pl.BlockSpec((tile_s, 2 * n_bins), lambda i, j: (j, 0)),
+        ],
+        out_specs=pl.BlockSpec((block_t, n_bins), lambda i, j: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((num_blocks * block_t, n_bins),
+                                       jnp.float32),
+        scratch_shapes=[pltpu.VMEM((block_t, tile_s), jnp.float32),
+                        pltpu.VMEM((block_t, 2 * n_bins), jnp.float32)],
+        interpret=interpret,
+    )(audio, kernel)
+
+    return out[:num_frames].swapaxes(-1, -2)

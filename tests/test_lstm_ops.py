@@ -1,0 +1,118 @@
+"""Tests for the TPU-optimized LSTM: numerics vs a reference flax cell."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from amt_tools_tpu.ops.lstm import FastLSTM, FastBiLSTM
+
+
+@pytest.fixture(scope='module')
+def key():
+    return jax.random.PRNGKey(0)
+
+
+def test_fastlstm_matches_reference_cell(key):
+    """FastLSTM must compute the same recurrence as flax's LSTMCell when
+    loaded with equivalent weights."""
+
+    B, T, E, H = 2, 7, 5, 4
+    x = jax.random.normal(key, (B, T, E))
+
+    fast = FastLSTM(features=H)
+    params = fast.init(key, x)['params']
+
+    # Build equivalent flax LSTMCell params. flax LSTMCell uses separate
+    # i/f/g/o Dense layers: ii/if_/ig/io for input, hi/hf/hg/ho for hidden.
+    kernel = np.asarray(params['input_proj']['kernel'])      # (E, 4H)
+    bias = np.asarray(params['input_proj']['bias'])          # (4H,)
+    rec = np.asarray(params['recurrent_kernel'])             # (H, 4H)
+
+    # flax LSTMCell: input Denses have no bias; hidden Denses carry the bias
+    gates = ['i', 'f', 'g', 'o']
+    cell_params = {}
+    for idx, g in enumerate(gates):
+        sl = slice(idx * H, (idx + 1) * H)
+        cell_params[f'i{g}'] = {'kernel': kernel[:, sl]}
+        cell_params[f'h{g}'] = {'kernel': rec[:, sl], 'bias': bias[sl]}
+
+    cell = nn.LSTMCell(features=H)
+    carry = (jnp.zeros((B, H)), jnp.zeros((B, H)))
+
+    outs = []
+    for t in range(T):
+        carry, y = cell.apply({'params': cell_params}, carry, x[:, t])
+        outs.append(y)
+    expected = jnp.stack(outs, axis=1)
+
+    got = fast.apply({'params': params}, x)
+
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_fastlstm_streaming_carry(key):
+    B, T, E, H = 3, 10, 6, 8
+    x = jax.random.normal(key, (B, T, E))
+
+    fast = FastLSTM(features=H)
+    params = fast.init(key, x)
+
+    full = fast.apply(params, x)
+
+    carry = (jnp.zeros((B, H)), jnp.zeros((B, H)))
+    outs = []
+    for t in range(T):
+        carry, y = fast.apply(params, x[:, t:t + 1], initial_carry=carry,
+                              return_carry=True)
+        outs.append(y)
+    streamed = jnp.concatenate(outs, axis=1)
+
+    np.testing.assert_allclose(np.asarray(streamed), np.asarray(full),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_fastbilstm_directions(key):
+    """The backward half must equal running FastLSTM on reversed input."""
+
+    B, T, E, H = 2, 6, 4, 3
+    x = jax.random.normal(key, (B, T, E))
+
+    bi = FastBiLSTM(features=H)
+    params = bi.init(key, x)['params']
+
+    out = bi.apply({'params': params}, x)
+    assert out.shape == (B, T, 2 * H)
+
+    # Forward half with a unidirectional model sharing the fwd weights
+    fwd_params = {'input_proj': params['input_proj_fwd'],
+                  'recurrent_kernel': params['recurrent_kernel_fwd']}
+    fwd = FastLSTM(features=H).apply({'params': fwd_params}, x)
+    np.testing.assert_allclose(np.asarray(out[..., :H]), np.asarray(fwd),
+                               rtol=1e-5, atol=1e-5)
+
+    # Backward half equals reversed-forward-reversed with the bwd weights
+    bwd_params = {'input_proj': params['input_proj_bwd'],
+                  'recurrent_kernel': params['recurrent_kernel_bwd']}
+    bwd = FastLSTM(features=H).apply({'params': bwd_params}, x[:, ::-1])[:, ::-1]
+    np.testing.assert_allclose(np.asarray(out[..., H:]), np.asarray(bwd),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_fastlstm_gradients(key):
+    B, T, E, H = 2, 5, 4, 4
+    x = jax.random.normal(key, (B, T, E))
+
+    fast = FastLSTM(features=H)
+    params = fast.init(key, x)
+
+    def loss(p, x):
+        return jnp.sum(fast.apply(p, x) ** 2)
+
+    grads = jax.grad(loss)(params, x)
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(np.all(np.isfinite(np.asarray(g))) for g in leaves)
+    assert sum(float(jnp.sum(jnp.abs(g))) for g in leaves) > 0
