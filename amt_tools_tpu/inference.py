@@ -19,6 +19,7 @@ __all__ = [
     'run_offline',
     'run_single_frame',
     'run_online',
+    'run_online_stateful',
 ]
 
 
@@ -104,6 +105,66 @@ def run_online(track_data, model, variables, estimator=None):
 
     if estimator is not None:
         # Reset streaming state for the next track
+        estimator.reset_state()
+
+    return predictions
+
+
+def run_online_stateful(track_data, model, variables, estimator=None):
+    """Frame-at-a-time inference for carry-threading streaming models.
+
+    For models exposing ``init_carries``/``__call__(feats, carries=...)``
+    (e.g. ``OnsetsFramesOnline``): each frame is processed with full
+    recurrent context carried across calls — true low-latency streaming
+    rather than independent context windows.
+    """
+
+    import jax
+    import jax.numpy as jnp
+
+    features = np.asarray(tools.unpack_dict(track_data, tools.KEY_FEATS),
+                          dtype=np.float32)
+    times = np.asarray(tools.unpack_dict(track_data, tools.KEY_TIMES))
+    track_id = tools.unpack_dict(track_data, tools.KEY_TRACK)
+
+    num_frames = features.shape[-1]
+
+    carries = model.init_carries(1)
+
+    # One compiled step reused for every frame
+    @jax.jit
+    def step(variables, frame, carries):
+        batch = model.pre_proc({tools.KEY_FEATS: frame})
+        return model.apply(variables, batch[tools.KEY_FEATS],
+                           carries=carries)
+
+    predictions = {}
+    note_chunks = []
+
+    for i in range(num_frames):
+        frame = jnp.asarray(features[None, ..., i: i + 1])
+
+        raw, carries = step(variables, frame, carries)
+
+        batch = {tools.KEY_OUTPUT: raw, tools.KEY_TIMES: times[i: i + 1][None]}
+        output = model.post_proc(batch)
+        output[tools.KEY_TIMES] = batch[tools.KEY_TIMES]
+
+        new_predictions = tools.dict_squeeze(tools.dict_to_array(output), dim=0)
+
+        if estimator is not None:
+            new_predictions.update(estimator.process_track(new_predictions, track_id))
+
+        if tools.query_dict(new_predictions, tools.KEY_NOTES):
+            note_chunks.append(
+                np.asarray(new_predictions.pop(tools.KEY_NOTES)).reshape(-1, 3))
+
+        predictions = tools.dict_append(predictions, new_predictions)
+
+    if note_chunks:
+        predictions[tools.KEY_NOTES] = np.concatenate(note_chunks, axis=0)
+
+    if estimator is not None:
         estimator.reset_state()
 
     return predictions

@@ -2,10 +2,10 @@
 
 from .common import (TranscriptionModel, OutputLayer, SoftmaxGroups,
                      LogisticBank, run_on_batch)
-from .onsetsframes import (OnsetsFrames, OnsetsFrames2, AcousticModel,
-                           LanguageModel, OnlineLanguageModel)
+from .onsetsframes import (OnsetsFrames, OnsetsFrames2, OnsetsFramesOnline,
+                           AcousticModel, LanguageModel, OnlineLanguageModel)
 from .tabcnn import TabCNN
 
 __all__ = ['TranscriptionModel', 'OutputLayer', 'SoftmaxGroups', 'LogisticBank',
-           'run_on_batch', 'OnsetsFrames', 'OnsetsFrames2', 'AcousticModel',
-           'LanguageModel', 'OnlineLanguageModel', 'TabCNN']
+           'run_on_batch', 'OnsetsFrames', 'OnsetsFrames2', 'OnsetsFramesOnline',
+           'AcousticModel', 'LanguageModel', 'OnlineLanguageModel', 'TabCNN']

@@ -30,6 +30,7 @@ from .common import TranscriptionModel, LogisticBank
 __all__ = [
     'OnsetsFrames',
     'OnsetsFrames2',
+    'OnsetsFramesOnline',
     'AcousticModel',
     'LanguageModel',
     'OnlineLanguageModel',
@@ -328,3 +329,65 @@ class OnsetsFrames2(OnsetsFrames):
         output[tools.KEY_OFFSETS] = head.finalize_output(offsets_est)
 
         return output
+
+
+class OnsetsFramesOnline(OnsetsFrames):
+    """Streaming Onsets & Frames: unidirectional LSTMs with explicit carries.
+
+    Functional analog of the reference's online variant (swapping
+    ``LanguageModel`` for the stateful ``OnlineLanguageModel``): the forward
+    pass accepts and returns a carry dictionary so frames can be fed one at
+    a time with full recurrent context (see ``inference.run_online_stateful``).
+    Called without carries, it behaves as a whole-sequence unidirectional
+    model (the training path).
+    """
+
+    def setup(self):
+        if self.model_complexity < 2:
+            raise ValueError('OnsetsFramesOnline requires model_complexity >= 2.')
+
+        self.onset_am = AcousticModel(self.dim_in, self.dim_am,
+                                      self.in_channels, self.model_complexity)
+        self.onset_lm = OnlineLanguageModel(self.dim_am, self.dim_lm)
+        self.onset_out = LogisticBank(dim_in=self.dim_lm, dim_out=self.dim_out)
+
+        self.pitch_am = AcousticModel(self.dim_in, self.dim_am,
+                                      self.in_channels, self.model_complexity)
+        self.pitch_out = LogisticBank(dim_in=self.dim_am, dim_out=self.dim_out)
+
+        self.adjoin_lm = OnlineLanguageModel(self.dim_aj, self.dim_lm)
+        self.adjoin_out = LogisticBank(dim_in=self.dim_lm, dim_out=self.dim_out)
+
+    @nn.nowrap
+    def init_carries(self, batch_size):
+        """Zero streaming state for both recurrent stages."""
+
+        zeros_lm = (jnp.zeros((batch_size, self.dim_lm)),
+                    jnp.zeros((batch_size, self.dim_lm)))
+
+        return {'onset': zeros_lm, 'adjoin': (jnp.zeros((batch_size, self.dim_lm)),
+                                              jnp.zeros((batch_size, self.dim_lm)))}
+
+    def __call__(self, feats, train=False, carries=None):
+        output = {}
+
+        multi_pitch = self.pitch_out(self.pitch_am(feats, train))
+
+        onset_feats, onset_carry = self.onset_lm(
+            self.onset_am(feats, train),
+            carry=None if carries is None else carries['onset'])
+        onsets = self.onset_out(onset_feats)
+        output[tools.KEY_ONSETS] = onsets
+
+        if self.detach_heads:
+            onsets = jax.lax.stop_gradient(onsets)
+
+        joint = jnp.concatenate((onsets, multi_pitch), axis=-1)
+        adjoin_feats, adjoin_carry = self.adjoin_lm(
+            joint, carry=None if carries is None else carries['adjoin'])
+        output[tools.KEY_MULTIPITCH] = self.adjoin_out(adjoin_feats)
+
+        if carries is None:
+            return output
+
+        return output, {'onset': onset_carry, 'adjoin': adjoin_carry}

@@ -21,7 +21,7 @@ jax.config.update('jax_platforms', 'cpu')
 
 # Persistent compilation cache: XLA compiles are slow on this CPU (~1-4 s per
 # unique op); caching makes repeat test runs cheap.
-jax.config.update('jax_compilation_cache_dir', os.path.expanduser('~/.cache/jax'))
+jax.config.update('jax_compilation_cache_dir', os.path.expanduser('~/.cache/jax-cpu'))
 jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.1)
 
 import numpy as np
