@@ -53,12 +53,15 @@ __all__ = [
 ##################################################
 
 
-def validate(model, variables, dataset, evaluator, estimator=None, online=False):
+def validate(model, variables, dataset, evaluator, estimator=None,
+             online=False, bucket=0):
     """Validation/evaluation loop over a dataset partition.
 
     Functional analog of the reference loop (``evaluate.py:52-101``): for
     each track, run offline (or mock-real-time) inference and score the
-    predictions. Returns the averaged results.
+    predictions. With ``bucket`` > 0 whole tracks are padded to frame-count
+    buckets so one compiled executable serves every track length (exact
+    results via masked recurrence). Returns the averaged results.
     """
 
     from .inference import run_offline, run_online
@@ -69,7 +72,8 @@ def validate(model, variables, dataset, evaluator, estimator=None, online=False)
         if online:
             predictions = run_online(track_data, model, variables, estimator)
         else:
-            predictions = run_offline(track_data, model, variables, estimator)
+            predictions = run_offline(track_data, model, variables, estimator,
+                                      bucket=bucket)
 
         evaluator.process_track(predictions, track_data, track_id)
 

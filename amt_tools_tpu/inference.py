@@ -31,18 +31,45 @@ def _predict(model, variables, batch):
     return tools.dict_squeeze(tools.dict_to_array(output), dim=0)
 
 
-def run_offline(track_data, model, variables, estimator=None):
-    """Whole-track inference: features -> predictions -> (estimates)."""
+def run_offline(track_data, model, variables, estimator=None, bucket=0):
+    """Whole-track inference: features -> predictions -> (estimates).
+
+    With ``bucket`` > 0, features are zero-padded along time to the next
+    multiple of ``bucket`` frames and a valid-frame count is threaded into
+    the model's masked recurrence — so whole-dataset evaluation reuses one
+    compiled executable per bucket instead of recompiling per track length,
+    with EXACT results for the valid frames (padded tails are trimmed).
+    """
 
     track_id = tools.unpack_dict(track_data, tools.KEY_TRACK)
 
     track_data = tools.dict_to_dtype(track_data, dtype=tools.FLOAT32)
 
+    arrays = {k: v for k, v in track_data.items() if tools.utils._is_array(v)}
+
+    num_frames = None
+    if bucket and tools.query_dict(arrays, tools.KEY_FEATS):
+        feats = np.asarray(arrays[tools.KEY_FEATS])
+        num_frames = feats.shape[-1]
+        padded = -(-num_frames // bucket) * bucket
+        if padded != num_frames:
+            pad = [(0, 0)] * (feats.ndim - 1) + [(0, padded - num_frames)]
+            arrays[tools.KEY_FEATS] = np.pad(feats, pad)
+        arrays[tools.KEY_VALID_FRAMES] = np.asarray(num_frames)
+
     # Treat the track as a batch of one
-    batch = tools.dict_unsqueeze(tools.dict_to_jax(
-        {k: v for k, v in track_data.items() if tools.utils._is_array(v)}))
+    batch = tools.dict_unsqueeze(tools.dict_to_jax(arrays))
 
     predictions = _predict(model, variables, batch)
+
+    if num_frames is not None:
+        # Trim every frame-aligned entry back to the true length
+        predictions = {
+            k: (v[..., :num_frames]
+                if tools.utils._is_array(v) and getattr(v, 'ndim', 0) >= 1
+                and v.shape[-1] == -(-num_frames // bucket) * bucket else v)
+            for k, v in predictions.items()}
+        predictions.pop(tools.KEY_VALID_FRAMES, None)
 
     if estimator is not None:
         predictions.update(estimator.process_track(predictions, track_id))

@@ -102,10 +102,18 @@ def run_on_batch(model, variables, batch, train=False, rngs=None):
     batch = dict(batch)
     batch = model.pre_proc(batch)
 
+    # Bucketed static-shape eval: thread valid-frame counts into models that
+    # support masked recurrence
+    extra = {}
+    if tools.KEY_VALID_FRAMES in batch:
+        import inspect
+        if 'lengths' in inspect.signature(type(model).__call__).parameters:
+            extra['lengths'] = batch[tools.KEY_VALID_FRAMES]
+
     mutable = ['batch_stats'] if train else []
     raw_output, mutated = model.apply(
         variables, batch[tools.KEY_FEATS], train=train,
-        rngs=rngs, mutable=mutable)
+        rngs=rngs, mutable=mutable, **extra)
 
     batch[tools.KEY_OUTPUT] = raw_output
     output = model.post_proc(batch)

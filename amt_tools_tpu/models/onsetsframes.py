@@ -51,30 +51,44 @@ class AcousticModel(nn.Module):
     model_complexity: int = 2
 
     @nn.compact
-    def __call__(self, feats, train=False):
+    def __call__(self, feats, train=False, lengths=None):
         nf1 = 16 * self.model_complexity
         nf3 = 32 * self.model_complexity
 
-        x = feats
+        if lengths is None:
+            frame_mask = None
+        else:
+            # Zero padded frames after every block so convolutions at the
+            # valid/padded boundary see exactly the implicit SAME zero
+            # padding of an unpadded run (BatchNorm would otherwise shift
+            # padded zeros to non-zero values) — bucketed eval stays exact
+            from ..ops.lstm import lengths_to_mask
+            frame_mask = lengths_to_mask(lengths, feats.shape[1])
+            frame_mask = frame_mask[:, :, None, None].astype(feats.dtype)
+
+        def masked(x):
+            return x if frame_mask is None else x * frame_mask
+
+        x = masked(feats)
 
         # Block 1: conv + BN + ReLU
         x = nn.Conv(nf1, (3, 3), padding='SAME')(x)
         x = nn.BatchNorm(use_running_average=not train)(x)
-        x = nn.relu(x)
+        x = masked(nn.relu(x))
 
         # Block 2: conv + BN + ReLU + 1x2 pool + dropout
         x = nn.Conv(nf1, (3, 3), padding='SAME')(x)
         x = nn.BatchNorm(use_running_average=not train)(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (1, 2), strides=(1, 2))
-        x = nn.Dropout(0.25, deterministic=not train)(x)
+        x = masked(nn.Dropout(0.25, deterministic=not train)(x))
 
         # Block 3: conv + BN + ReLU + 1x2 pool + dropout
         x = nn.Conv(nf3, (3, 3), padding='SAME')(x)
         x = nn.BatchNorm(use_running_average=not train)(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (1, 2), strides=(1, 2))
-        x = nn.Dropout(0.25, deterministic=not train)(x)
+        x = masked(nn.Dropout(0.25, deterministic=not train)(x))
 
         # (B, T, F/4, nf3) -> (B, T, F/4 * nf3)
         x = x.reshape(x.shape[:-2] + (-1,))
@@ -97,14 +111,14 @@ class LanguageModel(nn.Module):
     bidirectional: bool = True
 
     @nn.compact
-    def __call__(self, feats, train=False):
+    def __call__(self, feats, train=False, lengths=None):
         hidden = self.dim_out // (2 if self.bidirectional else 1)
 
         # TPU-optimized scan LSTM with hoisted input projections (ops/lstm.py)
         if self.bidirectional:
-            return FastBiLSTM(features=hidden)(feats)
+            return FastBiLSTM(features=hidden)(feats, lengths=lengths)
 
-        return FastLSTM(features=hidden)(feats)
+        return FastLSTM(features=hidden)(feats, lengths=lengths)
 
 
 class OnlineLanguageModel(nn.Module):
@@ -206,14 +220,15 @@ class OnsetsFrames(TranscriptionModel):
         self.adjoin_lm = LanguageModel(self.dim_aj, self.dim_lm)
         self.adjoin_out = LogisticBank(dim_in=self.dim_lm, dim_out=self.dim_out)
 
-    def __call__(self, feats, train=False):
+    def __call__(self, feats, train=False, lengths=None):
         output = {}
 
         # Initial multi-pitch estimate
-        multi_pitch = self.pitch_out(self.pitch_am(feats, train))
+        multi_pitch = self.pitch_out(self.pitch_am(feats, train, lengths))
 
-        # Onset estimate
-        onsets = self.onset_out(self.onset_lm(self.onset_am(feats, train), train))
+        # Onset estimate (lengths mask makes bucketed padded eval exact)
+        onsets = self.onset_out(self.onset_lm(self.onset_am(feats, train, lengths),
+                                              train, lengths=lengths))
         output[tools.KEY_ONSETS] = onsets
 
         if self.detach_heads:
@@ -221,7 +236,8 @@ class OnsetsFrames(TranscriptionModel):
 
         # Refined multi-pitch estimate over the joint activations
         joint = jnp.concatenate((onsets, multi_pitch), axis=-1)
-        output[tools.KEY_MULTIPITCH] = self.adjoin_out(self.adjoin_lm(joint, train))
+        output[tools.KEY_MULTIPITCH] = self.adjoin_out(
+            self.adjoin_lm(joint, train, lengths=lengths))
 
         return output
 
@@ -285,15 +301,17 @@ class OnsetsFrames2(OnsetsFrames):
         self.offset_lm = LanguageModel(self.dim_am, self.dim_lm)
         self.offset_out = LogisticBank(dim_in=self.dim_lm, dim_out=self.dim_out)
 
-    def __call__(self, feats, train=False):
+    def __call__(self, feats, train=False, lengths=None):
         output = {}
 
-        multi_pitch = self.pitch_out(self.pitch_am(feats, train))
+        multi_pitch = self.pitch_out(self.pitch_am(feats, train, lengths))
 
-        onsets = self.onset_out(self.onset_lm(self.onset_am(feats, train), train))
+        onsets = self.onset_out(self.onset_lm(self.onset_am(feats, train, lengths),
+                                              train, lengths=lengths))
         output[tools.KEY_ONSETS] = onsets
 
-        offsets = self.offset_out(self.offset_lm(self.offset_am(feats, train), train))
+        offsets = self.offset_out(self.offset_lm(self.offset_am(feats, train, lengths),
+                                                 train, lengths=lengths))
         output[tools.KEY_OFFSETS] = offsets
 
         if self.detach_heads:
@@ -301,7 +319,8 @@ class OnsetsFrames2(OnsetsFrames):
             offsets = jax.lax.stop_gradient(offsets)
 
         joint = jnp.concatenate((onsets, offsets, multi_pitch), axis=-1)
-        output[tools.KEY_MULTIPITCH] = self.adjoin_out(self.adjoin_lm(joint, train))
+        output[tools.KEY_MULTIPITCH] = self.adjoin_out(
+            self.adjoin_lm(joint, train, lengths=lengths))
 
         return output
 
@@ -368,10 +387,10 @@ class OnsetsFramesOnline(OnsetsFrames):
         return {'onset': zeros_lm, 'adjoin': (jnp.zeros((batch_size, self.dim_lm)),
                                               jnp.zeros((batch_size, self.dim_lm)))}
 
-    def __call__(self, feats, train=False, carries=None):
+    def __call__(self, feats, train=False, carries=None, lengths=None):
         output = {}
 
-        multi_pitch = self.pitch_out(self.pitch_am(feats, train))
+        multi_pitch = self.pitch_out(self.pitch_am(feats, train, lengths))
 
         onset_feats, onset_carry = self.onset_lm(
             self.onset_am(feats, train),

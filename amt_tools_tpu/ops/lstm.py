@@ -19,22 +19,30 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-__all__ = ['FastLSTM', 'FastBiLSTM']
+__all__ = ['FastLSTM', 'FastBiLSTM', 'lengths_to_mask']
 
 
-def _lstm_scan(xw, h0, c0, w_h, reverse=False, unroll=1):
+def _lstm_scan(xw, h0, c0, w_h, reverse=False, unroll=1, mask=None):
     """Scan the recurrent half of an LSTM over hoisted input projections.
 
     xw : (B, T, 4H) input projections (already includes the bias)
     h0, c0 : (B, H) initial state
     w_h : (H, 4H) recurrent weights
+    mask : optional (B, T) validity mask — padded steps leave the carry
+           unchanged and output zeros, so bucketed static-shape evaluation
+           is EXACT for the valid frames (reverse scans effectively start at
+           each sequence's true end).
     Gate order follows flax convention: [i, f, g, o].
     """
 
     hidden = h0.shape[-1]
 
-    def step(carry, x_proj):
+    def step(carry, inputs):
         h, c = carry
+        if mask is None:
+            x_proj = inputs
+        else:
+            x_proj, m = inputs
 
         gates = x_proj + jnp.dot(h, w_h, preferred_element_type=jnp.float32)
 
@@ -43,19 +51,35 @@ def _lstm_scan(xw, h0, c0, w_h, reverse=False, unroll=1):
         g = jnp.tanh(gates[..., 2 * hidden: 3 * hidden])
         o = jax.nn.sigmoid(gates[..., 3 * hidden: 4 * hidden])
 
-        c = f * c + i * g
-        h = o * jnp.tanh(c)
+        c_new = f * c + i * g
+        h_new = o * jnp.tanh(c_new)
 
-        return (h, c), h
+        if mask is None:
+            return (h_new, c_new), h_new
+
+        m = m[:, None]
+        c_new = jnp.where(m, c_new, c)
+        h_keep = jnp.where(m, h_new, h)
+        h_out = jnp.where(m, h_new, jnp.zeros_like(h_new))
+
+        return (h_keep, c_new), h_out
 
     # Scan over time: (T, B, 4H)
     xw_t = jnp.swapaxes(xw, 0, 1)
 
-    (h, c), out = jax.lax.scan(step, (h0, c0), xw_t, reverse=reverse,
+    xs = xw_t if mask is None else (xw_t, jnp.swapaxes(mask, 0, 1))
+
+    (h, c), out = jax.lax.scan(step, (h0, c0), xs, reverse=reverse,
                                unroll=unroll)
 
     # (T, B, H) -> (B, T, H)
     return jnp.swapaxes(out, 0, 1), (h, c)
+
+
+def lengths_to_mask(lengths, num_frames):
+    """(B,) valid lengths -> (B, T) boolean validity mask."""
+
+    return jnp.arange(num_frames)[None, :] < jnp.asarray(lengths)[:, None]
 
 
 class FastLSTM(nn.Module):
@@ -69,7 +93,8 @@ class FastLSTM(nn.Module):
     unroll: int = 8
 
     @nn.compact
-    def __call__(self, inputs, initial_carry=None, return_carry=False):
+    def __call__(self, inputs, initial_carry=None, return_carry=False,
+                 lengths=None):
         batch = inputs.shape[0]
         hidden = self.features
 
@@ -85,7 +110,11 @@ class FastLSTM(nn.Module):
         else:
             c0, h0 = initial_carry
 
-        out, (h, c) = _lstm_scan(xw, h0, c0, w_h, unroll=self.unroll)
+        mask = None if lengths is None else lengths_to_mask(lengths,
+                                                            inputs.shape[1])
+
+        out, (h, c) = _lstm_scan(xw, h0, c0, w_h, unroll=self.unroll,
+                                 mask=mask)
 
         if return_carry:
             return (c, h), out
@@ -104,7 +133,7 @@ class FastBiLSTM(nn.Module):
     unroll: int = 8
 
     @nn.compact
-    def __call__(self, inputs):
+    def __call__(self, inputs, lengths=None):
         batch = inputs.shape[0]
         hidden = self.features
 
@@ -118,8 +147,12 @@ class FastBiLSTM(nn.Module):
 
         zeros = jnp.zeros((batch, hidden), dtype=xw_f.dtype)
 
-        out_f, _ = _lstm_scan(xw_f, zeros, zeros, w_h_f, unroll=self.unroll)
+        mask = None if lengths is None else lengths_to_mask(lengths,
+                                                            inputs.shape[1])
+
+        out_f, _ = _lstm_scan(xw_f, zeros, zeros, w_h_f, unroll=self.unroll,
+                              mask=mask)
         out_b, _ = _lstm_scan(xw_b, zeros, zeros, w_h_b, reverse=True,
-                              unroll=self.unroll)
+                              unroll=self.unroll, mask=mask)
 
         return jnp.concatenate([out_f, out_b], axis=-1)
