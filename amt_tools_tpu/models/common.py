@@ -52,6 +52,9 @@ class TranscriptionModel(nn.Module):
     in_channels: int = 1
     model_complexity: int = 1
     frame_width: int = 1
+    # Computation dtype (params stay float32); jnp.bfloat16 doubles MXU
+    # throughput on TPU for inference/training with f32 loss accumulation
+    dtype: Any = None
 
     @nn.nowrap
     def pre_proc(self, batch):

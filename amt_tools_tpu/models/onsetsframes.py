@@ -49,6 +49,7 @@ class AcousticModel(nn.Module):
     dim_out: int
     in_channels: int = 1
     model_complexity: int = 2
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, feats, train=False, lengths=None):
@@ -72,20 +73,20 @@ class AcousticModel(nn.Module):
         x = masked(feats)
 
         # Block 1: conv + BN + ReLU
-        x = nn.Conv(nf1, (3, 3), padding='SAME')(x)
-        x = nn.BatchNorm(use_running_average=not train)(x)
+        x = nn.Conv(nf1, (3, 3), padding='SAME', dtype=self.dtype)(x)
+        x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(x)
         x = masked(nn.relu(x))
 
         # Block 2: conv + BN + ReLU + 1x2 pool + dropout
-        x = nn.Conv(nf1, (3, 3), padding='SAME')(x)
-        x = nn.BatchNorm(use_running_average=not train)(x)
+        x = nn.Conv(nf1, (3, 3), padding='SAME', dtype=self.dtype)(x)
+        x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (1, 2), strides=(1, 2))
         x = masked(nn.Dropout(0.25, deterministic=not train)(x))
 
         # Block 3: conv + BN + ReLU + 1x2 pool + dropout
-        x = nn.Conv(nf3, (3, 3), padding='SAME')(x)
-        x = nn.BatchNorm(use_running_average=not train)(x)
+        x = nn.Conv(nf3, (3, 3), padding='SAME', dtype=self.dtype)(x)
+        x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (1, 2), strides=(1, 2))
         x = masked(nn.Dropout(0.25, deterministic=not train)(x))
@@ -93,7 +94,7 @@ class AcousticModel(nn.Module):
         # (B, T, F/4, nf3) -> (B, T, F/4 * nf3)
         x = x.reshape(x.shape[:-2] + (-1,))
 
-        x = nn.Dense(self.dim_out)(x)
+        x = nn.Dense(self.dim_out, dtype=self.dtype)(x)
         x = nn.Dropout(0.50, deterministic=not train)(x)
 
         return x
@@ -109,6 +110,7 @@ class LanguageModel(nn.Module):
     dim_in: int
     dim_out: int
     bidirectional: bool = True
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, feats, train=False, lengths=None):
@@ -116,9 +118,10 @@ class LanguageModel(nn.Module):
 
         # TPU-optimized scan LSTM with hoisted input projections (ops/lstm.py)
         if self.bidirectional:
-            return FastBiLSTM(features=hidden)(feats, lengths=lengths)
+            return FastBiLSTM(features=hidden, dtype=self.dtype)(feats,
+                                                                 lengths=lengths)
 
-        return FastLSTM(features=hidden)(feats, lengths=lengths)
+        return FastLSTM(features=hidden, dtype=self.dtype)(feats, lengths=lengths)
 
 
 class OnlineLanguageModel(nn.Module):
@@ -209,15 +212,17 @@ class OnsetsFrames(TranscriptionModel):
                              '(the language-model width is 256 * (complexity - 1)).')
 
         self.onset_am = AcousticModel(self.dim_in, self.dim_am,
-                                      self.in_channels, self.model_complexity)
-        self.onset_lm = LanguageModel(self.dim_am, self.dim_lm)
+                                      self.in_channels, self.model_complexity,
+                                      dtype=self.dtype)
+        self.onset_lm = LanguageModel(self.dim_am, self.dim_lm, dtype=self.dtype)
         self.onset_out = LogisticBank(dim_in=self.dim_lm, dim_out=self.dim_out)
 
         self.pitch_am = AcousticModel(self.dim_in, self.dim_am,
-                                      self.in_channels, self.model_complexity)
+                                      self.in_channels, self.model_complexity,
+                                      dtype=self.dtype)
         self.pitch_out = LogisticBank(dim_in=self.dim_am, dim_out=self.dim_out)
 
-        self.adjoin_lm = LanguageModel(self.dim_aj, self.dim_lm)
+        self.adjoin_lm = LanguageModel(self.dim_aj, self.dim_lm, dtype=self.dtype)
         self.adjoin_out = LogisticBank(dim_in=self.dim_lm, dim_out=self.dim_out)
 
     def __call__(self, feats, train=False, lengths=None):
@@ -297,8 +302,9 @@ class OnsetsFrames2(OnsetsFrames):
         super().setup()
 
         self.offset_am = AcousticModel(self.dim_in, self.dim_am,
-                                       self.in_channels, self.model_complexity)
-        self.offset_lm = LanguageModel(self.dim_am, self.dim_lm)
+                                       self.in_channels, self.model_complexity,
+                                       dtype=self.dtype)
+        self.offset_lm = LanguageModel(self.dim_am, self.dim_lm, dtype=self.dtype)
         self.offset_out = LogisticBank(dim_in=self.dim_lm, dim_out=self.dim_out)
 
     def __call__(self, feats, train=False, lengths=None):

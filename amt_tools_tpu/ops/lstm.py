@@ -44,15 +44,18 @@ def _lstm_scan(xw, h0, c0, w_h, reverse=False, unroll=1, mask=None):
         else:
             x_proj, m = inputs
 
-        gates = x_proj + jnp.dot(h, w_h, preferred_element_type=jnp.float32)
+        # Gate math accumulates in f32; results cast back to the carry dtype
+        # so low-precision (bf16) activations keep a consistent scan carry
+        gates = x_proj + jnp.dot(h, w_h.astype(h.dtype),
+                                 preferred_element_type=jnp.float32)
 
         i = jax.nn.sigmoid(gates[..., 0 * hidden: 1 * hidden])
         f = jax.nn.sigmoid(gates[..., 1 * hidden: 2 * hidden])
         g = jnp.tanh(gates[..., 2 * hidden: 3 * hidden])
         o = jax.nn.sigmoid(gates[..., 3 * hidden: 4 * hidden])
 
-        c_new = f * c + i * g
-        h_new = o * jnp.tanh(c_new)
+        c_new = (f * c.astype(jnp.float32) + i * g).astype(c.dtype)
+        h_new = (o * jnp.tanh(c_new.astype(jnp.float32))).astype(h.dtype)
 
         if mask is None:
             return (h_new, c_new), h_new
@@ -91,6 +94,7 @@ class FastLSTM(nn.Module):
 
     features: int
     unroll: int = 8
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, inputs, initial_carry=None, return_carry=False,
@@ -99,7 +103,7 @@ class FastLSTM(nn.Module):
         hidden = self.features
 
         # Hoisted input projection for all timesteps: one MXU contraction
-        xw = nn.Dense(4 * hidden, name='input_proj')(inputs)
+        xw = nn.Dense(4 * hidden, name='input_proj', dtype=self.dtype)(inputs)
 
         w_h = self.param('recurrent_kernel', nn.initializers.orthogonal(),
                          (hidden, 4 * hidden))
@@ -131,14 +135,15 @@ class FastBiLSTM(nn.Module):
 
     features: int
     unroll: int = 8
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, inputs, lengths=None):
         batch = inputs.shape[0]
         hidden = self.features
 
-        xw_f = nn.Dense(4 * hidden, name='input_proj_fwd')(inputs)
-        xw_b = nn.Dense(4 * hidden, name='input_proj_bwd')(inputs)
+        xw_f = nn.Dense(4 * hidden, name='input_proj_fwd', dtype=self.dtype)(inputs)
+        xw_b = nn.Dense(4 * hidden, name='input_proj_bwd', dtype=self.dtype)(inputs)
 
         w_h_f = self.param('recurrent_kernel_fwd', nn.initializers.orthogonal(),
                            (hidden, 4 * hidden))

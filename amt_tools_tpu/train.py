@@ -36,6 +36,7 @@ __all__ = [
     'init_state',
     'make_train_step',
     'train',
+    'trainable_batch',
     'save_checkpoint',
     'load_checkpoint',
     'latest_checkpoint',
@@ -280,12 +281,19 @@ def train(model, train_loader, optimizer, iterations, checkpoints=0,
     return state
 
 
-def _trainable_batch(batch):
-    """Strip unbatchable entries (track ids, notes, pitch lists) from a batch."""
+def trainable_batch(batch):
+    """Strip unbatchable entries (track ids, notes, pitch lists) from a batch.
+
+    Use this before feeding loader batches into a jitted train step directly;
+    the ``train()`` loop applies it automatically.
+    """
 
     return {k: v for k, v in batch.items()
             if tools.utils._is_array(v) and k not in
             (tools.KEY_NOTES, tools.KEY_PITCHLIST, tools.KEY_TRACK)}
+
+
+_trainable_batch = trainable_batch
 
 
 def _place_batch(batch, mesh):
