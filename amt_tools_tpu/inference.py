@@ -49,12 +49,18 @@ def run_offline(track_data, model, variables, estimator=None, bucket=0):
 
     num_frames = None
     if bucket and tools.query_dict(arrays, tools.KEY_FEATS):
-        feats = np.asarray(arrays[tools.KEY_FEATS])
-        num_frames = feats.shape[-1]
+        num_frames = np.asarray(arrays[tools.KEY_FEATS]).shape[-1]
         padded = -(-num_frames // bucket) * bucket
         if padded != num_frames:
-            pad = [(0, 0)] * (feats.ndim - 1) + [(0, padded - num_frames)]
-            arrays[tools.KEY_FEATS] = np.pad(feats, pad)
+            # Pad every frame-aligned entry (features, labels, times) so the
+            # model's loss terms see consistently-shaped references;
+            # tablature pads with -1 (the slice_track convention)
+            for key, value in list(arrays.items()):
+                value = np.asarray(value)
+                if value.ndim >= 1 and value.shape[-1] == num_frames:
+                    fill = -1 if key == tools.KEY_TABLATURE else 0
+                    pad = [(0, 0)] * (value.ndim - 1) + [(0, padded - num_frames)]
+                    arrays[key] = np.pad(value, pad, constant_values=fill)
         arrays[tools.KEY_VALID_FRAMES] = np.asarray(num_frames)
 
     # Treat the track as a batch of one
