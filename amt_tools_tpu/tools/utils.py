@@ -72,7 +72,8 @@ __all__ = [
     'apply_func_stacked_representation', 'pack_stacked_representation',
     'unpack_stacked_representation',
     # dict / array plumbing
-    'to_numpy', 'dict_to_dtype', 'dict_to_device', 'dict_to_array', 'dict_to_jax',
+    'to_numpy', 'tensor_to_array', 'array_to_tensor',
+    'dict_to_dtype', 'dict_to_device', 'dict_to_array', 'dict_to_jax',
     'dict_squeeze', 'dict_unsqueeze', 'dict_append', 'dict_detach', 'unpack_dict',
     'query_dict', 'get_tag', 'slice_track', 'save_dict_npz', 'load_dict_npz',
     'seed_everything',
@@ -1267,6 +1268,23 @@ def dict_to_jax(track, device=None):
 
 # Alias retained for naming parity with the reference's dict_to_tensor
 dict_to_tensor = dict_to_jax
+
+
+def tensor_to_array(data):
+    """JAX array -> host ndarray (parity with the reference's torch helper)."""
+
+    return to_numpy(data)
+
+
+def array_to_tensor(data, device=None):
+    """ndarray -> JAX array, optionally placed on a device."""
+
+    import jax
+    import jax.numpy as jnp
+
+    data = jnp.asarray(data)
+
+    return jax.device_put(data, device) if device is not None else data
 
 
 def dict_squeeze(track, dim=None):

@@ -14,6 +14,10 @@ from .instrument import midi_to_note
 from . import utils
 
 __all__ = [
+    'initialize_figure',
+    'global_toolbar_disable',
+    'get_dynamic_x_bounds',
+    'get_dynamic_y_bounds',
     'plot_waveform',
     'plot_tfr',
     'plot_pitch_list',
@@ -46,6 +50,45 @@ def _init_axes(fig=None):
         fig.add_subplot(111)
 
     return fig, fig.axes[0]
+
+
+def initialize_figure(figsize=None, interactive=False):
+    """Create a new figure (optionally in interactive mode)."""
+
+    plt = _get_plt()
+
+    if interactive:
+        plt.ion()
+
+    return plt.figure(figsize=figsize, tight_layout=True)
+
+
+def global_toolbar_disable():
+    """Hide the matplotlib window toolbar for clean real-time displays."""
+
+    import matplotlib
+
+    matplotlib.rcParams['toolbar'] = 'None'
+
+
+def get_dynamic_x_bounds(ax, x_values, scale_factor=1.0):
+    """X-axis bounds covering the data, expanded by a scale factor."""
+
+    x_values = np.asarray(x_values)
+    lo, hi = float(np.min(x_values)), float(np.max(x_values))
+    mid, half = (lo + hi) / 2, (hi - lo) / 2 * scale_factor
+
+    return [mid - half, mid + half] if half > 0 else [lo - 1, hi + 1]
+
+
+def get_dynamic_y_bounds(ax, y_values, scale_factor=1.2):
+    """Y-axis bounds covering the data, expanded by a scale factor."""
+
+    y_values = np.asarray(y_values)
+    lo, hi = float(np.min(y_values)), float(np.max(y_values))
+    mid, half = (lo + hi) / 2, (hi - lo) / 2 * scale_factor
+
+    return [mid - half, mid + half] if half > 0 else [lo - 1, hi + 1]
 
 
 ##################################################
