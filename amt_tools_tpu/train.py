@@ -191,7 +191,7 @@ def load_checkpoint(path, abstract_state):
 def train(model, train_loader, optimizer, iterations, checkpoints=0,
           log_dir='.', scheduler=None, resume=True, single_batch=False,
           val_set=None, estimator=None, evaluator=None, vis_fnc=None,
-          state=None, rng=None, mesh=None, writer=None):
+          state=None, rng=None, mesh=None, writer=None, val_bucket=128):
     """Training loop (signature-compatible with the reference ``train()``).
 
     Parameters mirror ``train.py:19-60`` of the reference; JAX-specific
@@ -202,6 +202,9 @@ def train(model, train_loader, optimizer, iterations, checkpoints=0,
     ``scheduler`` is accepted for API parity; with optax, learning-rate
     schedules should be baked into the optimizer (``optax.scale_by_schedule``
     / schedule functions), so a non-None scheduler raises.
+
+    ``val_bucket`` pads whole-track validation to frame-count buckets so one
+    compiled executable serves every track length (0 disables).
 
     Returns the final TrainState.
     """
@@ -275,7 +278,8 @@ def train(model, train_loader, optimizer, iterations, checkpoints=0,
                 vis_fnc(model, state, global_iter + 1)
 
             if checkpoint and val_set is not None and evaluator is not None:
-                validate(model, state.variables(), val_set, evaluator, estimator)
+                validate(model, state.variables(), val_set, evaluator,
+                         estimator, bucket=val_bucket)
                 evaluator.finalize(writer, global_iter + 1)
 
     return state
