@@ -6,6 +6,7 @@ hermetic end-to-end tests and benchmarks without downloading real datasets.
 """
 
 import os
+import zlib
 
 import numpy as np
 
@@ -92,7 +93,7 @@ class SyntheticPiano(TranscriptionDataset):
     def _generate(self, track):
         """Deterministic per-track note content derived from the track name."""
 
-        track_seed = abs(hash(track)) % (2 ** 31)
+        track_seed = zlib.crc32(track.encode()) % (2 ** 31)
         rng = np.random.RandomState(track_seed)
 
         pitches, intervals = random_notes(self.profile, self.track_duration,
@@ -153,7 +154,7 @@ class SyntheticGuitar(SyntheticPiano):
         data = TranscriptionDataset.load(self, track)
 
         if not tools.query_dict(data, tools.KEY_AUDIO):
-            track_seed = abs(hash(track)) % (2 ** 31)
+            track_seed = zlib.crc32(track.encode()) % (2 ** 31)
             rng = np.random.RandomState(track_seed)
 
             # Generate one monophonic line per string (no overlaps per string)

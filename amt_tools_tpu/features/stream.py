@@ -378,9 +378,3 @@ class AudioFileStream(AudioStream):
 
         AudioStream.__init__(self, module, frame_buffer_size, audio,
                              real_time, playback, suppress_warnings)
-
-    def start_streaming(self):
-        super().start_streaming()
-
-        if self.playback:
-            sd.play(self.original_audio, self.module.sample_rate)

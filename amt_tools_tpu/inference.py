@@ -39,6 +39,11 @@ def run_offline(track_data, model, variables, estimator=None, bucket=0):
     the model's masked recurrence — so whole-dataset evaluation reuses one
     compiled executable per bucket instead of recompiling per track length,
     with EXACT results for the valid frames (padded tails are trimmed).
+
+    Caveat: monitoring loss terms are averaged over padded + valid frames,
+    so reported validation losses are diluted by each track's padding
+    fraction (predictions and metrics are unaffected). Use ``bucket=0``
+    when exact loss values matter.
     """
 
     track_id = tools.unpack_dict(track_data, tools.KEY_TRACK)

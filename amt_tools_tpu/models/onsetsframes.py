@@ -399,7 +399,7 @@ class OnsetsFramesOnline(OnsetsFrames):
         multi_pitch = self.pitch_out(self.pitch_am(feats, train, lengths))
 
         onset_feats, onset_carry = self.onset_lm(
-            self.onset_am(feats, train),
+            self.onset_am(feats, train, lengths),
             carry=None if carries is None else carries['onset'])
         onsets = self.onset_out(onset_feats)
         output[tools.KEY_ONSETS] = onsets

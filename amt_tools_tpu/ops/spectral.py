@@ -64,9 +64,14 @@ def frame_signal(audio, frame_length, hop_length, center=True):
 
     if center:
         pad = frame_length // 2
-        padding = [(0, 0)] * (audio.ndim - 1) + [(pad, pad)]
-        audio = jnp.pad(audio, padding)
         num_frames = 1 + num_samples // hop_length
+        # Right padding sized so the final frame is fully in bounds even for
+        # odd frame lengths (jnp.take would otherwise clip and silently
+        # duplicate the edge sample)
+        last_index = (num_frames - 1) * hop_length + frame_length
+        rpad = max(pad, last_index - (num_samples + pad))
+        padding = [(0, 0)] * (audio.ndim - 1) + [(pad, rpad)]
+        audio = jnp.pad(audio, padding)
     else:
         num_frames = max(0, 1 + (num_samples - frame_length) // hop_length)
 

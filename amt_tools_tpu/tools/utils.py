@@ -156,8 +156,12 @@ def sort_notes(pitches, intervals, by=0):
 def filter_batched_note_repeats(batched_notes):
     """Drop duplicate (pitch, onset) notes, keeping the longest duration."""
 
-    # Descending by offset so the longest duration appears first for each key
-    batched_notes = np.flip(sort_batched_notes(batched_notes), axis=0)
+    batched_notes = np.asarray(batched_notes).reshape(-1, 3)
+
+    # Sort by (onset, offset) so that after the flip the longest duration
+    # appears first among (pitch, onset) duplicates
+    order = np.lexsort((batched_notes[:, 1], batched_notes[:, 0]))
+    batched_notes = np.flip(batched_notes[order], axis=0)
 
     # Unique over (pitch, onset) pairs keeps the first (longest) occurrence
     pitches_onsets = batched_notes[:, [2, 0]]
@@ -236,8 +240,11 @@ def offset_notes(pitches, intervals, semitones):
 def detect_overlap_notes(intervals, decimals=3):
     """Check whether any note intervals overlap (at millisecond resolution)."""
 
-    intervals = sort_batched_notes(np.asarray(intervals), by=0)
-    overlap = np.sum(np.round(np.diff(intervals).flatten(), decimals) < 0) > 0
+    intervals = sort_batched_notes(np.asarray(intervals).reshape(-1, 2), by=0)
+    # Flatten to [on_0, off_0, on_1, off_1, ...]: a negative difference means
+    # either an inverted interval or an onset before the previous offset.
+    # (Fixes a latent reference bug: diffing per-row yields durations only.)
+    overlap = np.sum(np.round(np.diff(intervals.flatten()), decimals) < 0) > 0
 
     return bool(overlap)
 

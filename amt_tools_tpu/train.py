@@ -218,10 +218,16 @@ def train(model, train_loader, optimizer, iterations, checkpoints=0,
     if writer is None:
         writer = _make_writer(log_dir)
 
-    # Peek one batch to initialize state; the loader must be re-iterable
-    # (each outer iteration makes one pass over it)
-    first_batch = next(iter(train_loader))
+    # Peek one batch to initialize state. The peeked iterator is reused for
+    # the first pass so no batch is dropped and the loader's shuffle RNG is
+    # not advanced by an extra epoch. (Loaders must be re-iterable when
+    # iterations > 1.)
+    first_iter = iter(train_loader)
+    first_batch = next(first_iter)
     device_first = _place_batch(first_batch, mesh)
+
+    import itertools
+    pending_pass = itertools.chain([first_batch], first_iter)
 
     if state is None:
         state = init_state(model, optimizer, device_first, rng=rng)
@@ -246,8 +252,12 @@ def train(model, train_loader, optimizer, iterations, checkpoints=0,
     for global_iter in range(start_iter, iterations):
         train_loss = dict()
 
-        # Loop through the dataset (one pass per outer iteration)
-        for batch in train_loader:
+        # Loop through the dataset (one pass per outer iteration); the first
+        # pass consumes the iterator the init batch was peeked from
+        epoch = pending_pass if pending_pass is not None else train_loader
+        pending_pass = None
+
+        for batch in epoch:
             device_batch = _place_batch(batch, mesh)
 
             state, loss = train_step(state, device_batch)
