@@ -250,23 +250,33 @@ def train(model, train_loader, optimizer, iterations, checkpoints=0,
     train_step = make_train_step(model, optimizer, mesh=mesh)
 
     for global_iter in range(start_iter, iterations):
-        train_loss = dict()
-
         # Loop through the dataset (one pass per outer iteration); the first
         # pass consumes the iterator the init batch was peeked from
         epoch = pending_pass if pending_pass is not None else train_loader
         pending_pass = None
 
-        for batch in epoch:
-            device_batch = _place_batch(batch, mesh)
+        # Losses stay on device during the pass (a per-step np.asarray would
+        # synchronize and defeat JAX's async dispatch); the device-put
+        # look-ahead keeps the next batch's transfer overlapped with compute
+        epoch_losses = []
 
+        for device_batch in _prefetch_batches(epoch, mesh):
             state, loss = train_step(state, device_batch)
 
-            train_loss = append_results(
-                train_loss, {k: np.asarray(v) for k, v in loss.items()})
+            epoch_losses.append(loss)
 
             if single_batch:
                 break
+
+        # One device->host transfer per loss key: stack the per-step scalars
+        # on device, then pull each stacked array once (per-step transfers
+        # cost a full round trip each on remote-attached devices)
+        if epoch_losses:
+            stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs),
+                                             *epoch_losses)
+            train_loss = {k: np.asarray(v) for k, v in stacked.items()}
+        else:
+            train_loss = dict()
 
         train_loss = average_results(train_loss)
         log_results(train_loss, writer, step=global_iter + 1,
@@ -293,6 +303,21 @@ def train(model, train_loader, optimizer, iterations, checkpoints=0,
                 evaluator.finalize(writer, global_iter + 1)
 
     return state
+
+
+def _prefetch_batches(iterable, mesh, depth=2):
+    """Yield device-placed batches with a transfer look-ahead of ``depth``."""
+
+    from collections import deque
+
+    queue = deque()
+    for batch in iterable:
+        queue.append(_place_batch(batch, mesh))
+        if len(queue) >= depth:
+            yield queue.popleft()
+
+    while queue:
+        yield queue.popleft()
 
 
 def trainable_batch(batch):
