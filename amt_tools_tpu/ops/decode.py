@@ -11,6 +11,8 @@ import jax.numpy as jnp
 
 __all__ = [
     'threshold',
+    'pack_bits',
+    'unpack_bits',
     'multi_pitch_to_onsets',
     'multi_pitch_to_offsets',
     'logistic_to_tablature',
@@ -26,6 +28,33 @@ def threshold(activations, thr=0.5):
     """Binarize activations at a threshold."""
 
     return jnp.where(activations >= thr, 1.0, 0.0)
+
+
+def pack_bits(x):
+    """Pack binary (..., T) activations into (..., ceil(T/8)) uint8 on device.
+
+    8x smaller device->host transfers for thresholded activation maps
+    (little-endian bit order; invert with :func:`unpack_bits` or
+    ``np.unpackbits(..., bitorder='little')``).
+    """
+
+    num_frames = x.shape[-1]
+    pad = (-num_frames) % 8
+    x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
+    x = x.reshape(x.shape[:-1] + (-1, 8)).astype(jnp.uint8)
+    weights = jnp.asarray([1, 2, 4, 8, 16, 32, 64, 128], dtype=jnp.uint8)
+
+    return (x * weights).sum(-1).astype(jnp.uint8)
+
+
+def unpack_bits(packed, num_frames):
+    """Host-side inverse of :func:`pack_bits` -> float32 binary activations."""
+
+    import numpy as np
+
+    bits = np.unpackbits(np.asarray(packed), axis=-1, bitorder='little')
+
+    return bits[..., :num_frames].astype(np.float32)
 
 
 def multi_pitch_to_onsets(multi_pitch):

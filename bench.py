@@ -82,23 +82,20 @@ def main():
         batch = model.pre_proc({tools.KEY_FEATS: feats})
         raw = model.apply(variables, batch[tools.KEY_FEATS], train=False)
 
-        # uint8 activations: 4x smaller host transfer
-        multi_pitch = decode.threshold(
-            jax.nn.sigmoid(jnp.swapaxes(raw[tools.KEY_MULTIPITCH], -1, -2)),
-            0.5).astype(jnp.uint8)
-        onsets = decode.threshold(
-            jax.nn.sigmoid(jnp.swapaxes(raw[tools.KEY_ONSETS], -1, -2)),
-            0.5).astype(jnp.uint8)
+        # Bit-packed activations: 32x smaller device->host transfer
+        multi_pitch = decode.pack_bits(decode.threshold(
+            jax.nn.sigmoid(jnp.swapaxes(raw[tools.KEY_MULTIPITCH], -1, -2)), 0.5))
+        onsets = decode.pack_bits(decode.threshold(
+            jax.nn.sigmoid(jnp.swapaxes(raw[tools.KEY_ONSETS], -1, -2)), 0.5))
 
         return multi_pitch, onsets
 
     times = mel.get_times(clips[0])
 
     def full_pipeline(variables, audio):
-        multi_pitch, onsets = jax.tree.map(
-            lambda a: a.block_until_ready(), device_pipeline(variables, audio))
-        multi_pitch = np.asarray(multi_pitch)
-        onsets = np.asarray(onsets)
+        multi_pitch, onsets = device_pipeline(variables, audio)
+        multi_pitch = decode.unpack_bits(multi_pitch, num_frames)
+        onsets = decode.unpack_bits(onsets, num_frames)
 
         # Host note decode (vectorized suffix scans) per track
         all_notes = []

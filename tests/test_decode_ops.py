@@ -100,3 +100,15 @@ def test_note_segments_matches_host_decode(piano, rng):
     for a, b in zip(got, ref):
         assert a[0] == b[0]
         np.testing.assert_allclose(a[1:], b[1:], atol=1e-9)
+
+
+def test_pack_unpack_bits_roundtrip(rng):
+    import jax.numpy as jnp
+
+    for T in (16, 17, 23, 64):
+        acts = (rng.rand(3, 5, T) > 0.5).astype(np.float32)
+        packed = decode.pack_bits(jnp.asarray(acts))
+        assert packed.shape == (3, 5, -(-T // 8))
+        assert packed.dtype == jnp.uint8
+        recovered = decode.unpack_bits(packed, T)
+        np.testing.assert_array_equal(recovered, acts)
