@@ -55,6 +55,9 @@ class TranscriptionModel(nn.Module):
     # Computation dtype (params stay float32); jnp.bfloat16 doubles MXU
     # throughput on TPU for inference/training with f32 loss accumulation
     dtype: Any = None
+    # Rematerialize the acoustic stacks in the backward pass (jax.checkpoint):
+    # trades recompute for activation memory on long training crops
+    remat: bool = False
 
     @nn.nowrap
     def pre_proc(self, batch):

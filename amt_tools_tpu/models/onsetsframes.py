@@ -155,6 +155,15 @@ class OnlineLanguageModel(nn.Module):
         return out, new_carry
 
 
+def _acoustic_model_cls(remat):
+    """AcousticModel, optionally wrapped in gradient rematerialization."""
+
+    if remat:
+        return nn.remat(AcousticModel, static_argnums=(2, 3))
+
+    return AcousticModel
+
+
 class _Heads:
     """Lightweight param-free output-layer handles for post-processing.
 
@@ -210,6 +219,8 @@ class OnsetsFrames(TranscriptionModel):
         if self.model_complexity < 2:
             raise ValueError('OnsetsFrames requires model_complexity >= 2 '
                              '(the language-model width is 256 * (complexity - 1)).')
+
+        AcousticModel = _acoustic_model_cls(self.remat)
 
         self.onset_am = AcousticModel(self.dim_in, self.dim_am,
                                       self.in_channels, self.model_complexity,
@@ -301,6 +312,8 @@ class OnsetsFrames2(OnsetsFrames):
     def setup(self):
         super().setup()
 
+        AcousticModel = _acoustic_model_cls(self.remat)
+
         self.offset_am = AcousticModel(self.dim_in, self.dim_am,
                                        self.in_channels, self.model_complexity,
                                        dtype=self.dtype)
@@ -370,6 +383,8 @@ class OnsetsFramesOnline(OnsetsFrames):
     def setup(self):
         if self.model_complexity < 2:
             raise ValueError('OnsetsFramesOnline requires model_complexity >= 2.')
+
+        AcousticModel = _acoustic_model_cls(self.remat)
 
         self.onset_am = AcousticModel(self.dim_in, self.dim_am,
                                       self.in_channels, self.model_complexity)
