@@ -106,23 +106,38 @@ def main():
 
         return all_notes
 
+    def host_decode(packed):
+        multi_pitch = decode.unpack_bits(packed[0], num_frames)
+        onsets = decode.unpack_bits(packed[1], num_frames)
+
+        all_notes = []
+        for b in range(batch_size):
+            pitches, intervals = tools.multi_pitch_to_notes(
+                multi_pitch[b], times, profile, onsets=onsets[b])
+            all_notes.append((pitches, intervals))
+
+        return all_notes
+
     # Warm up / compile
     _log('compiling device pipeline...')
     t0 = time.perf_counter()
     full_pipeline(variables, audio)
     _log(f'compile+first run: {time.perf_counter() - t0:.1f}s')
 
-    # Timed runs
-    runs = 5
-    elapsed = []
-    for _ in range(runs):
-        start = time.perf_counter()
-        full_pipeline(variables, audio)
-        elapsed.append(time.perf_counter() - start)
+    # Steady-state pipelined throughput: dispatch batch n+1 (JAX async)
+    # before host-decoding batch n, as a production serving loop would
+    runs = 8
+    start = time.perf_counter()
+    pending = device_pipeline(variables, audio)
+    for _ in range(runs - 1):
+        upcoming = device_pipeline(variables, audio)
+        host_decode(pending)
+        pending = upcoming
+    host_decode(pending)
+    elapsed = time.perf_counter() - start
 
-    best = min(elapsed)
     audio_seconds = batch_size * clip_seconds
-    rtf = audio_seconds / best
+    rtf = audio_seconds * runs / elapsed
 
     result = {
         'metric': 'full_pipeline_realtime_factor',
