@@ -25,7 +25,7 @@ class TranscriptionDataset(object):
 
     def __init__(self, base_dir, splits, hop_length, sample_rate, data_proc,
                  profile, num_frames, audio_norm, split_notes, reset_data,
-                 store_data, save_data, save_loc, seed):
+                 store_data, save_data, save_loc, seed, preload_workers=0):
         if base_dir is None:
             base_dir = os.path.join(tools.DEFAULT_DATASETS_DIR, self.dataset_name())
         self.base_dir = base_dir
@@ -89,8 +89,17 @@ class TranscriptionDataset(object):
 
         if self.store_data:
             self.data = {}
-            for track in self.tracks:
-                self.data[track] = self.load(track)
+            if preload_workers and len(self.tracks) > 1:
+                # Parallel ground-truth preload: WAV decode + annotation
+                # parsing are independent per track (host-side CPU work)
+                from concurrent.futures import ThreadPoolExecutor
+                with ThreadPoolExecutor(max_workers=preload_workers) as pool:
+                    for track, data in zip(self.tracks,
+                                           pool.map(self.load, self.tracks)):
+                        self.data[track] = data
+            else:
+                for track in self.tracks:
+                    self.data[track] = self.load(track)
 
     def __len__(self):
         return len(self.tracks)

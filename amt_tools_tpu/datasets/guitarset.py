@@ -22,13 +22,14 @@ class GuitarSet(TranscriptionDataset):
                  sample_rate=44100, data_proc=None, profile=None,
                  num_frames=None, audio_norm=-1, split_notes=False,
                  reset_data=False, store_data=True, save_data=True,
-                 save_loc=None, seed=0):
+                 save_loc=None, seed=0, preload_workers=0):
         if profile is None:
             profile = tools.GuitarProfile()
 
         super().__init__(base_dir, splits, hop_length, sample_rate, data_proc,
                          profile, num_frames, audio_norm, split_notes,
-                         reset_data, store_data, save_data, save_loc, seed)
+                         reset_data, store_data, save_data, save_loc, seed,
+                         preload_workers)
 
     def get_tracks(self, split):
         """60 alphabetically-consecutive tracks per player split."""

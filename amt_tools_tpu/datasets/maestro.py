@@ -18,10 +18,11 @@ class _MAESTRO(MAPS):
                  sample_rate=16000, data_proc=None, profile=None,
                  num_frames=None, audio_norm=-1, split_notes=False,
                  reset_data=False, store_data=False, save_data=True,
-                 save_loc=None, seed=0):
+                 save_loc=None, seed=0, preload_workers=0):
         super().__init__(base_dir, splits, hop_length, sample_rate, data_proc,
                          profile, num_frames, audio_norm, split_notes,
-                         reset_data, store_data, save_data, save_loc, seed)
+                         reset_data, store_data, save_data, save_loc, seed,
+                         preload_workers)
 
     def get_tracks(self, split):
         """Track names for a split from the dataset's CSV metadata."""
