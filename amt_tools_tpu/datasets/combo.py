@@ -5,9 +5,6 @@ Completes the reference's incomplete ``DatasetCombo``
 tracks are addressed globally across the constituent datasets.
 """
 
-from .common import TranscriptionDataset
-
-
 class DatasetCombo(object):
     """Present several datasets as one (concatenated track list)."""
 

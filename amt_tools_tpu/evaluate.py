@@ -15,7 +15,6 @@ here semitone tolerances are converted to cents (x100).
 
 import json
 import os
-import sys
 import warnings
 from abc import abstractmethod
 from copy import deepcopy

@@ -14,7 +14,7 @@ from fractions import Fraction
 
 import numpy as np
 
-from . import constants, utils
+from . import utils
 from .midi import load_notes_midi, parse_midi_events
 from .jams_io import (load_jams, extract_duration_jams, load_duration_jams,
                       extract_stacked_notes_jams, load_stacked_notes_jams,

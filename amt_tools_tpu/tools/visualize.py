@@ -10,7 +10,6 @@ the package never touches a display backend.
 import numpy as np
 
 from . import constants
-from .instrument import midi_to_note
 from . import utils
 
 __all__ = [

@@ -25,10 +25,9 @@ import jax
 import jax.numpy as jnp
 import optax
 from flax import struct
-from flax.core import freeze, unfreeze
 
 from . import tools
-from .evaluate import validate, append_results, average_results, log_results
+from .evaluate import validate, average_results, log_results
 from .models.common import run_on_batch
 
 __all__ = [
