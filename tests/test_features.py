@@ -195,3 +195,17 @@ def test_process_jax_batched():
     feats = mel.process_jax(batch)
     assert feats.shape[0] == 2
     assert feats.shape[1:] == (1, 32, 1 + batch.shape[-1] // 512)
+
+
+def test_feature_combo_sample_range_intersection():
+    """Combo sample ranges are the intersection of constituents."""
+
+    fs = 16000
+    a = MelSpec(sample_rate=fs, hop_length=512, n_mels=32)
+    b = MelSpec(sample_rate=fs, hop_length=512, n_mels=32, htk=True)
+    combo = FeatureCombo([a, b])
+
+    for num_frames in (1, 7):
+        rng_combo = combo.get_sample_range(num_frames)
+        for n in (rng_combo[0], rng_combo[-1]):
+            assert combo.get_expected_frames(np.zeros(int(n))) == num_frames

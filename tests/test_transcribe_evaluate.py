@@ -293,3 +293,37 @@ def test_results_plumbing():
 
     assert ev.pattern_match('f1-score', ['f1', 'pr'])
     assert not ev.pattern_match('recall', ['f1'])
+
+
+def test_pitch_list_evaluator(piano):
+    times = np.arange(10) * 0.032
+    pitch_list = [np.array([60.0]) if 2 <= t <= 7 else np.array([]) for t in range(10)]
+
+    evaluator = ev.PitchListEvaluator()
+    perfect = evaluator.evaluate((times, pitch_list), (times, pitch_list))
+    # Results keyed by tolerance (default 0.5 semitones)
+    assert abs(perfect['0.5'][tools.KEY_F1] - 1.0) < 1e-9
+
+    # Quarter-tone-off estimates still match at the 0.5-semitone tolerance
+    detuned = [p + 0.25 if len(p) else p for p in pitch_list]
+    near = evaluator.evaluate((times, detuned), (times, pitch_list))
+    assert abs(near['0.5'][tools.KEY_F1] - 1.0) < 1e-9
+
+    # A wrong-pitch estimate fails
+    wrong = [p + 3 if len(p) else p for p in pitch_list]
+    off = evaluator.evaluate((times, wrong), (times, pitch_list))
+    assert off['0.5'][tools.KEY_F1] == 0.0
+
+
+def test_stacked_pitch_list_evaluator(guitar):
+    times = np.arange(8) * 0.023
+    stacked = {
+        0: (times, [np.array([40.0])] * 8),
+        1: (times, [np.array([45.0])] * 8),
+    }
+
+    evaluator = ev.StackedPitchListEvaluator(pitch_tolerances=[0.5, 0.25])
+    results = evaluator.evaluate(stacked, stacked)
+    for slc in (0, 1):
+        assert abs(results[slc]['0.5'][tools.KEY_F1] - 1.0) < 1e-9
+        assert abs(results[slc]['0.25'][tools.KEY_F1] - 1.0) < 1e-9
