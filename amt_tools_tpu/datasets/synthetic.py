@@ -170,9 +170,21 @@ class SyntheticGuitar(SyntheticPiano):
                 pitches = (open_pitch + frets).astype(float)
                 stacked_notes[string] = (pitches, np.stack([onsets, offsets], -1))
 
+            # Render each string with distinct timbre (harmonic count and
+            # decay vary per string) so string disambiguation (TDR) is
+            # physically learnable from the audio
+            num_samples = int(self.track_duration * self.sample_rate)
+            audio = np.zeros(num_samples, dtype=np.float32)
+            for string, (pitches, intervals) in stacked_notes.items():
+                audio = audio + render_notes(
+                    pitches, intervals, self.sample_rate, self.track_duration,
+                    harmonics=2 + string, decay=2.0 + 0.7 * string,
+                    seed=track_seed + string)
+            peak = np.max(np.abs(audio))
+            if peak > 1.0:
+                audio = audio / peak
+
             all_pitches, all_intervals = tools.stacked_notes_to_notes(stacked_notes)
-            audio = render_notes(all_pitches, all_intervals, self.sample_rate,
-                                 self.track_duration, seed=track_seed)
 
             if self.audio_norm == -1:
                 audio = tools.rms_norm(audio)
