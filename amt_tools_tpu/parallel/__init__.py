@@ -6,9 +6,10 @@ first-class component — batches shard over the ``data`` axis, parameters are
 replicated, and XLA inserts the gradient ``psum`` over ICI automatically.
 """
 
-from .mesh import (get_mesh, shard_batch, replicate, data_parallel_shardings,
-                   local_batch_to_global)
+from .mesh import (get_mesh, shard_batch, pad_shard_batch, replicate,
+                   data_parallel_shardings, local_batch_to_global)
 from .tp import tp_rules_default, shard_params_tp
 
-__all__ = ['get_mesh', 'shard_batch', 'replicate', 'data_parallel_shardings',
+__all__ = ['get_mesh', 'shard_batch', 'pad_shard_batch', 'replicate',
+           'data_parallel_shardings',
            'local_batch_to_global', 'tp_rules_default', 'shard_params_tp']

@@ -9,6 +9,8 @@ A ``model`` axis is provisioned for future tensor parallelism (the models'
 output layers are small, so TP is headroom, not a requirement).
 """
 
+import warnings
+
 import numpy as np
 
 import jax
@@ -17,6 +19,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 __all__ = [
     'get_mesh',
     'shard_batch',
+    'pad_shard_batch',
     'replicate',
     'data_parallel_shardings',
     'local_batch_to_global',
@@ -58,7 +61,10 @@ def shard_batch(batch, mesh, axis='data'):
     """Place a host batch dict onto the mesh, sharded on the leading axis.
 
     Leaves whose leading dimension is not divisible by the mesh axis size
-    (or scalars) are replicated instead.
+    (or scalars) are replicated instead. Replicating a batched leaf means
+    every device runs the FULL batch — axis_size times the work — so a
+    warning is raised when that happens; use a device-divisible batch size
+    (drop the remainder in the loader) or :func:`pad_shard_batch`.
     """
 
     batch_sharding, replicated = data_parallel_shardings(mesh, axis)
@@ -68,9 +74,50 @@ def shard_batch(batch, mesh, axis='data'):
         leaf = np.asarray(leaf) if not hasattr(leaf, 'ndim') else leaf
         if getattr(leaf, 'ndim', 0) >= 1 and leaf.shape[0] % axis_size == 0:
             return jax.device_put(leaf, batch_sharding)
+        if getattr(leaf, 'ndim', 0) >= 1 and leaf.shape[0] > 1:
+            warnings.warn(
+                f'shard_batch: leaf with leading dim {leaf.shape[0]} is not '
+                f'divisible by mesh axis "{axis}" ({axis_size}); replicating '
+                f'it — every device computes the full batch. Use a divisible '
+                f'batch size or pad_shard_batch().', stacklevel=3)
         return jax.device_put(leaf, replicated)
 
     return jax.tree_util.tree_map(place, batch)
+
+
+def pad_shard_batch(batch, mesh, axis='data'):
+    """Zero-pad batched leaves to a mesh-divisible size, then shard.
+
+    Returns ``(sharded_batch, valid)`` where ``valid`` is a sharded bool
+    vector over the padded leading axis marking real examples. Callers use
+    it to mask per-example losses/metrics; padding rows are zeros. Leaves
+    whose leading dimension differs from the (majority) batch size are
+    replicated unchanged.
+    """
+
+    axis_size = mesh.shape[axis]
+    batch_sharding, replicated = data_parallel_shardings(mesh, axis)
+
+    sizes = [leaf.shape[0] for leaf in jax.tree_util.tree_leaves(batch)
+             if getattr(leaf, 'ndim', 0) >= 1]
+    if not sizes:
+        raise ValueError('pad_shard_batch: no batched leaves to shard.')
+    batch_size = max(set(sizes), key=sizes.count)
+    padded_size = -(-batch_size // axis_size) * axis_size
+
+    def place(leaf):
+        leaf = np.asarray(leaf)
+        if leaf.ndim >= 1 and leaf.shape[0] == batch_size:
+            if padded_size != batch_size:
+                pad = np.zeros((padded_size - batch_size,) + leaf.shape[1:],
+                               dtype=leaf.dtype)
+                leaf = np.concatenate([leaf, pad], axis=0)
+            return jax.device_put(leaf, batch_sharding)
+        return jax.device_put(leaf, replicated)
+
+    valid = np.arange(padded_size) < batch_size
+    return (jax.tree_util.tree_map(place, batch),
+            jax.device_put(valid, batch_sharding))
 
 
 def replicate(tree, mesh):

@@ -198,9 +198,17 @@ def train(model, train_loader, optimizer, iterations, checkpoints=0,
     ``mesh`` (data-parallel device mesh), ``writer`` (any object with
     ``add_scalar``; defaults to tensorboardX if available, else a no-op).
 
-    ``scheduler`` is accepted for API parity; with optax, learning-rate
-    schedules should be baked into the optimizer (``optax.scale_by_schedule``
-    / schedule functions), so a non-None scheduler raises.
+    ``scheduler`` mirrors the reference's per-iteration LR scheduler
+    (``train.py:143-145``): pass an optax-style schedule — a callable
+    mapping the optimizer step count to a multiplier on the base learning
+    rate (e.g. ``optax.warmup_cosine_decay_schedule(0., 1., 100, 2000)``).
+    It is chained onto the optimizer via ``optax.scale_by_schedule``, so its
+    state (the step count) lives in ``opt_state`` and survives checkpointing
+    and resume. Unlike the reference's epoch-level stepping, the schedule
+    advances per optimizer step (per batch) — compute warmup/decay horizons
+    in optimizer steps (iterations x batches per pass). Requires
+    ``state=None`` (or a state initialized with the already-chained
+    optimizer).
 
     ``val_bucket`` pads whole-track validation to frame-count buckets so one
     compiled executable serves every track length (0 disables).
@@ -209,8 +217,10 @@ def train(model, train_loader, optimizer, iterations, checkpoints=0,
     """
 
     if scheduler is not None:
-        raise ValueError('Learning-rate schedules are baked into the optax '
-                         'optimizer; pass scheduler=None.')
+        if not callable(scheduler):
+            raise ValueError('scheduler must be an optax-style schedule: a '
+                             'callable mapping step count -> LR multiplier.')
+        optimizer = optax.chain(optimizer, optax.scale_by_schedule(scheduler))
 
     os.makedirs(log_dir, exist_ok=True)
 

@@ -56,6 +56,12 @@ def config():
     # The fixed learning rate
     learning_rate = 6e-4
 
+    # Optimizer steps of linear LR warmup followed by cosine decay to zero
+    # over the run; 0 keeps the reference's constant learning rate. One
+    # iteration = one pass over the loader (len(train_loader) optimizer
+    # steps), the same accounting as the reference (its train.py:118-122).
+    warmup_steps = 0
+
     # Whether to shard batches across all local devices (data parallel)
     data_parallel = False
 
@@ -68,8 +74,8 @@ def config():
 
 @ex.automain
 def onsets_frames_2_run(sample_rate, hop_length, num_frames, iterations,
-                        checkpoints, batch_size, learning_rate, data_parallel,
-                        reset_data, seed, root_dir):
+                        checkpoints, batch_size, learning_rate, warmup_steps,
+                        data_parallel, reset_data, seed, root_dir):
     tools.seed_everything(seed)
 
     profile = tools.PianoProfile()
@@ -157,6 +163,15 @@ def onsets_frames_2_run(sample_rate, hop_length, num_frames, iterations,
 
     optimizer = optax.adam(learning_rate)
 
+    # Optional warmup + cosine decay, expressed in optimizer steps: the
+    # schedule state lives in the optimizer state and survives resume.
+    scheduler = None
+    if warmup_steps > 0:
+        total_steps = iterations * len(train_loader)
+        scheduler = optax.warmup_cosine_decay_schedule(
+            init_value=0.0, peak_value=1.0,
+            warmup_steps=warmup_steps, decay_steps=total_steps)
+
     mesh = get_mesh() if data_parallel else None
 
     print('Training model...')
@@ -169,6 +184,7 @@ def onsets_frames_2_run(sample_rate, hop_length, num_frames, iterations,
                   iterations=iterations,
                   checkpoints=checkpoints,
                   log_dir=model_dir,
+                  scheduler=scheduler,
                   val_set=mstro_val,
                   estimator=validation_estimator,
                   evaluator=validation_evaluator,

@@ -49,8 +49,12 @@ def config():
     # Number of samples to gather for a batch
     batch_size = 8
 
-    # The fixed learning rate
+    # The base learning rate
     learning_rate = 6e-4
+
+    # Optimizer steps of linear LR warmup, then cosine decay to zero over
+    # the run; 0 disables the schedule (constant LR)
+    warmup_steps = 60
 
     # Synthetic data parameters
     num_train_tracks = 48
@@ -67,9 +71,9 @@ def config():
 
 @ex.automain
 def synthetic_demo(sample_rate, hop_length, num_frames, iterations,
-                   checkpoints, batch_size, learning_rate, num_train_tracks,
-                   num_test_tracks, track_duration, notes_per_track,
-                   data_parallel, seed, root_dir):
+                   checkpoints, batch_size, learning_rate, warmup_steps,
+                   num_train_tracks, num_test_tracks, track_duration,
+                   notes_per_track, data_parallel, seed, root_dir):
     tools.seed_everything(seed)
 
     profile = tools.PianoProfile()
@@ -110,11 +114,20 @@ def synthetic_demo(sample_rate, hop_length, num_frames, iterations,
 
     mesh = get_mesh() if data_parallel else None
 
+    # LR schedule in optimizer steps (iterations x batches per pass); its
+    # step count lives in the optimizer state and survives resume
+    scheduler = None
+    if warmup_steps > 0:
+        scheduler = optax.warmup_cosine_decay_schedule(
+            init_value=0.0, peak_value=1.0, warmup_steps=warmup_steps,
+            decay_steps=iterations * len(train_loader))
+
     print('Training...')
 
     state = train(model, train_loader, optax.adam(learning_rate),
                   iterations=iterations, checkpoints=checkpoints,
                   log_dir=os.path.join(root_dir, 'models'),
+                  scheduler=scheduler,
                   val_set=test_set, estimator=validation_estimator,
                   evaluator=validation_evaluator,
                   rng=jax.random.PRNGKey(seed), mesh=mesh)

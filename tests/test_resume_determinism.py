@@ -69,3 +69,55 @@ def test_resume_exact_continuation(fixture, tmp_path):
     for a, b in zip(leaves_a, leaves_b):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-6, atol=1e-7)
+
+def test_scheduler_resume_exact(fixture, tmp_path):
+    """A warmup/decay schedule's state (step count) survives checkpointing.
+
+    Mirrors the reference's per-iteration scheduler stepping
+    (reference train.py:143-145) via optax.scale_by_schedule: one-shot
+    train(6) == train(3) + resume(6) bit-for-bit, and the schedule actually
+    changes the trajectory (different params than the unscheduled run).
+    """
+
+    import optax as _optax
+    model, batch = fixture
+    loader = _Loader(batch)
+
+    schedule = _optax.warmup_cosine_decay_schedule(
+        init_value=0.1, peak_value=1.0, warmup_steps=2, decay_steps=6)
+
+    state_a = train(model, loader, _optax.adam(1e-3), iterations=6,
+                    checkpoints=0, log_dir=str(tmp_path / 'sched_oneshot'),
+                    resume=False, rng=jax.random.PRNGKey(7),
+                    scheduler=schedule)
+
+    train(model, loader, _optax.adam(1e-3), iterations=3, checkpoints=1,
+          log_dir=str(tmp_path / 'sched_resumed'), resume=False,
+          rng=jax.random.PRNGKey(7), scheduler=schedule)
+    state_b = train(model, loader, _optax.adam(1e-3), iterations=6,
+                    checkpoints=0, log_dir=str(tmp_path / 'sched_resumed'),
+                    resume=True, rng=jax.random.PRNGKey(123),
+                    scheduler=schedule)
+
+    # Unscheduled control: must diverge from the scheduled runs
+    state_c = train(model, loader, _optax.adam(1e-3), iterations=6,
+                    checkpoints=0, log_dir=str(tmp_path / 'sched_control'),
+                    resume=False, rng=jax.random.PRNGKey(7))
+
+    leaves_a = jax.tree_util.tree_leaves(jax.device_get(state_a.params))
+    leaves_b = jax.tree_util.tree_leaves(jax.device_get(state_b.params))
+    leaves_c = jax.tree_util.tree_leaves(jax.device_get(state_c.params))
+
+    for a, b in zip(leaves_a, leaves_b):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+
+    assert any(not np.allclose(np.asarray(a), np.asarray(c))
+               for a, c in zip(leaves_a, leaves_c))
+
+
+def test_scheduler_must_be_callable(fixture, tmp_path):
+    model, batch = fixture
+    with pytest.raises(ValueError, match='callable'):
+        train(model, _Loader(batch), optax.adam(1e-3), iterations=1,
+              log_dir=str(tmp_path), scheduler='step_lr')
