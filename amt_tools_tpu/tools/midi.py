@@ -115,8 +115,19 @@ def parse_midi_events(midi_path):
     _format, num_tracks, division = struct.unpack('>HHH', data[8:14])
 
     if division & 0x8000:
-        raise ValueError('SMPTE time division is not supported')
-    ticks_per_beat = division
+        # SMPTE time division: upper byte is the negative frame rate in
+        # two's complement (-24/-25/-29/-30; -29 means 30 drop-frame =
+        # 29.97 fps), lower byte is ticks per frame. Timing is absolute —
+        # tempo meta events do not affect it.
+        fps = 256 - (division >> 8)
+        if fps == 29:
+            fps = 29.97
+        ticks_per_frame = division & 0xFF
+        seconds_per_tick = 1.0 / (fps * ticks_per_frame)
+        ticks_per_beat = None
+    else:
+        ticks_per_beat = division
+        seconds_per_tick = None
 
     # Collect (abs_tick, track_order, event) from every track chunk
     merged = []
@@ -132,12 +143,16 @@ def parse_midi_events(midi_path):
     # Stable sort by absolute tick merges tracks the way mido's iterator does
     merged.sort(key=lambda e: e[0])
 
-    # Convert ticks to seconds with the tempo map applied in stream order
+    # Convert ticks to seconds: tempo map in stream order for PPQ division,
+    # fixed tick duration for SMPTE division
     events = []
     tempo = _DEFAULT_TEMPO
     last_tick, last_time = 0, 0.0
     for tick, event in merged:
-        last_time += (tick - last_tick) * tempo / (ticks_per_beat * 1e6)
+        if seconds_per_tick is not None:
+            last_time += (tick - last_tick) * seconds_per_tick
+        else:
+            last_time += (tick - last_tick) * tempo / (ticks_per_beat * 1e6)
         last_tick = tick
         if event['type'] == 'set_tempo':
             tempo = event['tempo']
