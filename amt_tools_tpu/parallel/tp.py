@@ -70,6 +70,11 @@ def shard_params_tp(params, mesh, rules=None, axis='model'):
         path = '/'.join(str(getattr(k, 'key', k)) for k in key_path)
         spec = _param_spec(path, rules)
 
+        # Head-fused (nn.vmap-stacked) kernels carry extra leading axes;
+        # left-pad the spec so the rule's dims keep naming the trailing ones
+        if len(spec) and leaf.ndim > len(spec):
+            spec = P(*((None,) * (leaf.ndim - len(spec)) + tuple(spec)))
+
         # Check divisibility of each sharded dimension
         for dim, name in enumerate(spec):
             if name is not None and (leaf.ndim <= dim or

@@ -112,3 +112,70 @@ def test_pack_unpack_bits_roundtrip(rng):
         assert packed.dtype == jnp.uint8
         recovered = decode.unpack_bits(packed, T)
         np.testing.assert_array_equal(recovered, acts)
+
+
+def test_notes_on_device_bitexact_vs_host(piano, rng):
+    """Device compact-buffer decode == tools.multi_pitch_to_notes exactly."""
+    import jax
+    import jax.numpy as jnp
+
+    for trial in range(4):
+        mp = (rng.rand(piano.get_range_len(), 50) > 0.9).astype(np.float32)
+        times = np.arange(50) * 0.032
+
+        onsets = None
+        if trial % 2:
+            # Onset-gated decode path: sparse onsets within active regions
+            onsets = mp * (rng.rand(*mp.shape) > 0.5)
+
+        fn = jax.jit(lambda m, o: decode.notes_on_device(m, o, capacity=2048))
+        rows, on, off, count = fn(jnp.asarray(mp),
+                                  None if onsets is None else jnp.asarray(onsets))
+        got_p, got_i = decode.notes_from_device(rows, on, off, count,
+                                                times, piano)
+
+        ref_p, ref_i = utils.multi_pitch_to_notes(mp, times, piano,
+                                                  onsets=onsets)
+
+        np.testing.assert_array_equal(got_p, ref_p)
+        np.testing.assert_array_equal(got_i, ref_i)
+
+
+def test_notes_on_device_empty_and_overflow(piano):
+    import jax.numpy as jnp
+
+    # Empty map -> zero notes
+    mp = np.zeros((piano.get_range_len(), 10), dtype=np.float32)
+    rows, on, off, count = decode.notes_on_device(jnp.asarray(mp), capacity=8)
+    p, i = decode.notes_from_device(rows, on, off, count,
+                                    np.arange(10) * 0.01, piano)
+    assert len(p) == 0 and i.shape == (0, 2)
+
+    # Overflow: more notes than capacity -> warn + truncate
+    mp = np.zeros((piano.get_range_len(), 10), dtype=np.float32)
+    mp[:6, 2] = 1.0  # six simultaneous one-frame notes
+    rows, on, off, count = decode.notes_on_device(jnp.asarray(mp), capacity=4)
+    assert int(count) == 6
+    with pytest.warns(UserWarning, match='overflow'):
+        p, i = decode.notes_from_device(rows, on, off, count,
+                                        np.arange(10) * 0.01, piano)
+    assert len(p) == 4
+
+
+def test_notes_on_device_vmap_batch(piano, rng):
+    """Batched decode via vmap matches per-example host decode."""
+    import jax
+    import jax.numpy as jnp
+
+    batch = (rng.rand(3, piano.get_range_len(), 30) > 0.92).astype(np.float32)
+    times = np.arange(30) * 0.032
+
+    fn = jax.jit(jax.vmap(lambda m: decode.notes_on_device(m, capacity=1024)))
+    rows, on, off, counts = fn(jnp.asarray(batch))
+
+    for b in range(3):
+        got_p, got_i = decode.notes_from_device(rows[b], on[b], off[b],
+                                                counts[b], times, piano)
+        ref_p, ref_i = utils.multi_pitch_to_notes(batch[b], times, piano)
+        np.testing.assert_array_equal(got_p, ref_p)
+        np.testing.assert_array_equal(got_i, ref_i)
