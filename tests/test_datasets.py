@@ -254,3 +254,51 @@ def test_collate_mixed():
     batch = collate(samples)
     assert batch['a'].shape == (2, 2, 3)
     assert batch['name'] == ['x', 'y']
+
+
+def test_synthetic_difficulty_knobs():
+    """Noise/reverb/velocity/timbre degrade audio but not ground truth."""
+
+    import numpy as np
+    from amt_tools_tpu.datasets.synthetic import (SyntheticPiano, render_notes,
+                                                  add_room)
+    from amt_tools_tpu import tools
+
+    clean = SyntheticPiano(num_tracks=1, track_duration=2.0, save_data=False,
+                           store_data=False)
+    hard = SyntheticPiano(num_tracks=1, track_duration=2.0, save_data=False,
+                          store_data=False, noise_snr_db=10.0,
+                          reverb_time=0.3, velocity_range=(0.4, 1.0),
+                          timbre_jitter=0.3)
+
+    track = clean.get_tracks('train')[0]
+    d_clean, d_hard = clean.load(track), hard.load(track)
+
+    # Same exact ground truth, different (degraded) audio
+    np.testing.assert_array_equal(d_clean[tools.KEY_NOTES],
+                                  d_hard[tools.KEY_NOTES])
+    np.testing.assert_array_equal(d_clean[tools.KEY_MULTIPITCH],
+                                  d_hard[tools.KEY_MULTIPITCH])
+    assert d_clean[tools.KEY_AUDIO].shape == d_hard[tools.KEY_AUDIO].shape
+    assert not np.allclose(d_clean[tools.KEY_AUDIO], d_hard[tools.KEY_AUDIO])
+
+    # Noise floor is audible in silence: the hard track has no silent samples
+    silence = np.abs(d_hard[tools.KEY_AUDIO])[:100]
+    assert np.all(silence > 0)
+
+    # add_room SNR is calibrated: measure achieved SNR on a pure tone
+    rng = np.random.RandomState(0)
+    tone = np.sin(2 * np.pi * 440 * np.arange(16000) / 16000).astype(np.float32)
+    noisy = add_room(tone, 16000, rng, noise_snr_db=20.0)
+    scale = np.max(np.abs(noisy)) / 1.0  # renormalization factor if clipped
+    noise = noisy.astype(np.float64) - tone * (np.dot(noisy, tone) / np.dot(tone, tone))
+    achieved = 10 * np.log10(np.mean(tone ** 2) / np.mean(noise ** 2))
+    assert 17.0 < achieved < 23.0
+
+    # velocity variation changes relative note loudness deterministically
+    p = np.array([60.0, 60.0])
+    i = np.array([[0.0, 0.4], [1.0, 1.4]])
+    a = render_notes(p, i, 16000, 2.0, seed=3, velocity_range=(0.2, 1.0))
+    e1 = np.sqrt(np.mean(a[:6400] ** 2))
+    e2 = np.sqrt(np.mean(a[16000:22400] ** 2))
+    assert abs(e1 - e2) / max(e1, e2) > 0.05
