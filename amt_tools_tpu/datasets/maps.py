@@ -50,8 +50,10 @@ class MAPS(TranscriptionDataset):
 
             midi_path = self.get_midi_path(track)
 
-            # Batched notes with sustain handling; drop the velocity column
-            batched_notes = tools.load_notes_midi(midi_path)[..., :-1]
+            # Notes with sustain handling: (N, 4) incl. MIDI velocities
+            notes_velocity = tools.load_notes_midi(midi_path)
+            batched_notes = notes_velocity[..., :-1]
+            velocities = notes_velocity[..., -1]
 
             pitches, intervals = tools.batched_notes_to_notes(batched_notes)
 
@@ -65,12 +67,15 @@ class MAPS(TranscriptionDataset):
                                            self.profile, ambiguity)
             offsets = tools.notes_to_offsets(pitches, intervals, times,
                                              self.profile, ambiguity)
+            velocity = tools.notes_to_velocity(pitches, intervals, velocities,
+                                               times, self.profile)
 
             data.update({tools.KEY_FS: fs,
                          tools.KEY_AUDIO: audio,
                          tools.KEY_MULTIPITCH: multi_pitch,
                          tools.KEY_ONSETS: onsets,
                          tools.KEY_OFFSETS: offsets,
+                         tools.KEY_VELOCITY: velocity,
                          tools.KEY_NOTES: batched_notes})
 
             if self.save_data:

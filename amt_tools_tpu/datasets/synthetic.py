@@ -16,20 +16,23 @@ from .common import TranscriptionDataset
 
 def render_notes(pitches, intervals, sample_rate, duration, harmonics=4,
                  amplitude=0.25, decay=3.0, seed=0, velocity_range=None,
-                 timbre_jitter=0.0):
+                 timbre_jitter=0.0, velocities=None):
     """Render MIDI notes as decaying harmonic tones (mono float32 audio).
 
     Difficulty knobs (all off by default): ``velocity_range=(lo, hi)``
     scales each note's amplitude by a uniform draw; ``timbre_jitter``
     perturbs each note's per-harmonic amplitudes log-normally (sigma in
     nats), so the same pitch never has exactly the same spectrum twice.
+    Explicit per-note ``velocities`` (in [0, 1]) override ``velocity_range``
+    so callers can keep exact velocity ground truth.
     """
 
     rng = np.random.RandomState(seed)
     num_samples = int(duration * sample_rate)
     audio = np.zeros(num_samples, dtype=np.float64)
 
-    for pitch, (onset, offset) in zip(pitches, np.asarray(intervals).reshape(-1, 2)):
+    for index, (pitch, (onset, offset)) in enumerate(
+            zip(pitches, np.asarray(intervals).reshape(-1, 2))):
         freq = float(tools.midi_to_hz(pitch))
         start = int(onset * sample_rate)
         end = min(num_samples, int(offset * sample_rate))
@@ -40,9 +43,12 @@ def render_notes(pitches, intervals, sample_rate, duration, harmonics=4,
         envelope = np.exp(-decay * t)
         phase = rng.uniform(0, 2 * np.pi)
 
-        velocity = 1.0
-        if velocity_range is not None:
+        if velocities is not None:
+            velocity = float(velocities[index])
+        elif velocity_range is not None:
             velocity = rng.uniform(*velocity_range)
+        else:
+            velocity = 1.0
 
         tone = np.zeros_like(t)
         for h in range(1, harmonics + 1):
@@ -154,21 +160,28 @@ class SyntheticPiano(TranscriptionDataset):
 
         pitches, intervals = random_notes(self.profile, self.track_duration,
                                           self.notes_per_track, rng)
+
+        # Explicit per-note velocities so velocity ground truth is exact
+        if self.velocity_range is not None:
+            velocities = rng.uniform(*self.velocity_range, len(pitches))
+        else:
+            velocities = np.ones(len(pitches))
+
         audio = render_notes(pitches, intervals, self.sample_rate,
                              self.track_duration, seed=track_seed,
-                             velocity_range=self.velocity_range,
+                             velocities=velocities,
                              timbre_jitter=self.timbre_jitter)
         audio = add_room(audio, self.sample_rate, rng,
                          noise_snr_db=self.noise_snr_db,
                          reverb_time=self.reverb_time)
 
-        return pitches, intervals, audio
+        return pitches, intervals, velocities, audio
 
     def load(self, track):
         data = super().load(track)
 
         if not tools.query_dict(data, tools.KEY_AUDIO):
-            pitches, intervals, audio = self._generate(track)
+            pitches, intervals, velocities, audio = self._generate(track)
 
             if self.audio_norm == -1:
                 audio = tools.rms_norm(audio)
@@ -183,12 +196,15 @@ class SyntheticPiano(TranscriptionDataset):
                                            self.profile, ambiguity)
             offsets = tools.notes_to_offsets(pitches, intervals, times,
                                              self.profile, ambiguity)
+            velocity = tools.notes_to_velocity(pitches, intervals, velocities,
+                                               times, self.profile)
 
             data.update({tools.KEY_FS: self.sample_rate,
                          tools.KEY_AUDIO: audio,
                          tools.KEY_MULTIPITCH: multi_pitch,
                          tools.KEY_ONSETS: onsets,
                          tools.KEY_OFFSETS: offsets,
+                         tools.KEY_VELOCITY: velocity,
                          tools.KEY_NOTES: tools.notes_to_batched_notes(pitches, intervals)})
 
         return data

@@ -44,6 +44,7 @@ __all__ = [
     'PitchListEvaluator',
     'TablatureEvaluator',
     'SoftmaxAccuracy',
+    'VelocityEvaluator',
 ]
 
 
@@ -592,3 +593,38 @@ class SoftmaxAccuracy(Evaluator):
         accuracy = num_correct / reference.size
 
         return {tools.KEY_ACCURACY: accuracy}
+
+
+class VelocityEvaluator(Evaluator):
+    """Velocity regression quality at ground-truth note locations.
+
+    New capability paired with ``OnsetsFrames2(estimate_velocity=True)``
+    (the reference leaves velocity unimplemented, ``onsetsframes.py:13``).
+    Compares the estimated (O, T) velocity map against the reference map on
+    cells where the reference is active: mean absolute error (in normalized
+    [0, 1] velocity) and the fraction within ``tolerance`` (default 0.1,
+    i.e. ~13 MIDI velocity steps).
+    """
+
+    def __init__(self, unpack_key=None, results_key=None, save_dir=None,
+                 patterns=None, verbose=False, tolerance=0.1):
+        super().__init__(unpack_key, results_key, save_dir, patterns, verbose)
+        self.tolerance = tolerance
+
+    @staticmethod
+    def get_default_key():
+        return tools.KEY_VELOCITY
+
+    def evaluate(self, estimated, reference):
+        estimated = tools.to_numpy(estimated)
+        reference = tools.to_numpy(reference)
+
+        active = reference > 0
+
+        if not np.any(active):
+            return {'mae': 0.0, 'within_tolerance': 1.0}
+
+        errors = np.abs(estimated[active] - reference[active])
+
+        return {'mae': float(np.mean(errors)),
+                'within_tolerance': float(np.mean(errors <= self.tolerance))}

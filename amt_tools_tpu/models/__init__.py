@@ -1,11 +1,12 @@
 """Transcription models: base classes, output layers, O&F v1/v2, TabCNN."""
 
 from .common import (TranscriptionModel, OutputLayer, SoftmaxGroups,
-                     LogisticBank, run_on_batch)
+                     LogisticBank, RegressionBank, run_on_batch)
 from .onsetsframes import (OnsetsFrames, OnsetsFrames2, OnsetsFramesOnline,
                            AcousticModel, LanguageModel, OnlineLanguageModel)
 from .tabcnn import TabCNN
 
 __all__ = ['TranscriptionModel', 'OutputLayer', 'SoftmaxGroups', 'LogisticBank',
+           'RegressionBank',
            'run_on_batch', 'OnsetsFrames', 'OnsetsFrames2', 'OnsetsFramesOnline',
            'AcousticModel', 'LanguageModel', 'OnlineLanguageModel', 'TabCNN']

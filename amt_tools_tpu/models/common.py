@@ -34,6 +34,7 @@ __all__ = [
     'OutputLayer',
     'SoftmaxGroups',
     'LogisticBank',
+    'RegressionBank',
     'run_on_batch',
 ]
 
@@ -270,3 +271,45 @@ class LogisticBank(OutputLayer):
             out = jnp.where(out >= threshold, 1.0, 0.0)
 
         return out
+
+
+class RegressionBank(OutputLayer):
+    """Per-key bounded regression head (e.g. note velocities in [0, 1]).
+
+    New capability closing the reference's velocity TODO
+    (``models/onsetsframes.py:13``; the O&F2 paper predicts per-pitch
+    velocity): a sigmoid-squashed projection trained with masked MSE —
+    the loss counts only cells the mask marks active (the paper computes
+    velocity loss at onset locations only), so silent frames neither pull
+    predictions toward zero nor dilute the gradient.
+    """
+
+    @nn.compact
+    def __call__(self, feats):
+        """(B, T, E) features -> (B, T, dim_out) raw regression logits."""
+
+        return nn.Dense(self.dim_out)(feats)
+
+    @nn.nowrap
+    def get_loss(self, estimated, reference, mask):
+        """Masked MSE: estimated (B, T, O) logits vs reference (B, O, T).
+
+        ``mask`` (B, O, T) marks the cells that count (typically the onset
+        ground truth); the loss is averaged over active cells only.
+        """
+
+        predicted = jax.nn.sigmoid(jnp.swapaxes(estimated, -1, -2)
+                                   .astype(jnp.float32))
+        mask = mask.astype(jnp.float32)
+
+        squared = (predicted - reference.astype(jnp.float32)) ** 2
+
+        return jnp.sum(squared * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+
+    @nn.nowrap
+    def finalize_output(self, raw_output):
+        """(B, T, O) logits -> (B, O, T) values in [0, 1]."""
+
+        out = super().finalize_output(raw_output)
+
+        return jnp.swapaxes(jax.nn.sigmoid(out), -1, -2)

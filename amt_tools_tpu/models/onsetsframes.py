@@ -25,7 +25,7 @@ from flax import linen as nn
 
 from .. import tools
 from ..ops.lstm import FastLSTM, FastBiLSTM
-from .common import TranscriptionModel, LogisticBank
+from .common import TranscriptionModel, LogisticBank, RegressionBank
 
 __all__ = [
     'OnsetsFrames',
@@ -297,11 +297,16 @@ class OnsetsFrames2(OnsetsFrames):
     """Onsets & Frames (V2), arXiv:1810.12247 (reference ``:199-327``).
 
     Adds an offset head; the refinement stage consumes onsets, offsets, and
-    the initial pitch estimate.
+    the initial pitch estimate. With ``estimate_velocity``, a dedicated
+    acoustic stack regresses per-pitch note velocities (the O&F2 paper's
+    velocity prediction — left as a TODO in the reference at
+    ``models/onsetsframes.py:13``), trained with MSE at onset locations
+    only and decoded into a (B, O, T) velocity map in [0, 1].
     """
 
     model_complexity: int = 3
     detach_heads: bool = True
+    estimate_velocity: bool = False
 
     @property
     def dim_aj(self):
@@ -320,6 +325,14 @@ class OnsetsFrames2(OnsetsFrames):
         self.offset_lm = LanguageModel(self.dim_am, self.dim_lm, dtype=self.dtype)
         self.offset_out = LogisticBank(dim_in=self.dim_lm, dim_out=self.dim_out)
 
+        if self.estimate_velocity:
+            self.velocity_am = AcousticModel(self.dim_in, self.dim_am,
+                                             self.in_channels,
+                                             self.model_complexity,
+                                             dtype=self.dtype)
+            self.velocity_out = RegressionBank(dim_in=self.dim_am,
+                                               dim_out=self.dim_out)
+
     def __call__(self, feats, train=False, lengths=None):
         output = {}
 
@@ -332,6 +345,10 @@ class OnsetsFrames2(OnsetsFrames):
         offsets = self.offset_out(self.offset_lm(self.offset_am(feats, train, lengths),
                                                  train, lengths=lengths))
         output[tools.KEY_OFFSETS] = offsets
+
+        if self.estimate_velocity:
+            output[tools.KEY_VELOCITY] = self.velocity_out(
+                self.velocity_am(feats, train, lengths))
 
         if self.detach_heads:
             onsets = jax.lax.stop_gradient(onsets)
@@ -365,6 +382,29 @@ class OnsetsFrames2(OnsetsFrames):
             output[tools.KEY_LOSS] = loss
 
         output[tools.KEY_OFFSETS] = head.finalize_output(offsets_est)
+
+        if self.estimate_velocity and tools.KEY_VELOCITY in output:
+            velocity_est = output[tools.KEY_VELOCITY]
+            velocity_head = RegressionBank(dim_in=self.dim_am,
+                                           dim_out=self.dim_out)
+
+            # Velocity loss needs both the velocity map and onset locations
+            if tools.KEY_LOSS in output and tools.KEY_VELOCITY in batch:
+                if tools.KEY_ONSETS in batch:
+                    onsets_ref = batch[tools.KEY_ONSETS]
+                else:
+                    from ..ops import decode
+                    onsets_ref = decode.multi_pitch_to_onsets(
+                        batch[tools.KEY_MULTIPITCH])
+
+                loss = output[tools.KEY_LOSS]
+                loss[tools.KEY_LOSS_VELOCITY] = velocity_head.get_loss(
+                    velocity_est, batch[tools.KEY_VELOCITY], onsets_ref)
+                loss[tools.KEY_LOSS_TOTAL] = (loss[tools.KEY_LOSS_TOTAL] +
+                                              loss[tools.KEY_LOSS_VELOCITY])
+                output[tools.KEY_LOSS] = loss
+
+            output[tools.KEY_VELOCITY] = velocity_head.finalize_output(velocity_est)
 
         return output
 

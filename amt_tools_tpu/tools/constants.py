@@ -60,6 +60,7 @@ KEY_ONSETS = 'onsets'
 KEY_OFFSETS = 'offsets'
 KEY_TIMES = 'times'
 KEY_NOTES = 'notes'
+KEY_VELOCITY = 'velocity'
 KEY_OUTPUT = 'model_output'
 KEY_ACCURACY = 'accuracy'
 KEY_VALID_FRAMES = 'valid_frames'  # static-shape eval: number of real frames
@@ -69,6 +70,7 @@ KEY_LOSS_TOTAL = 'loss_total'
 KEY_LOSS_ONSETS = 'loss_onsets'
 KEY_LOSS_OFFSETS = 'loss_offsets'
 KEY_LOSS_PITCH = 'loss_pitch'
+KEY_LOSS_VELOCITY = 'loss_velocity'
 KEY_LOSS_TABS = 'loss_tabs'
 KEY_LOSS_KLD = 'loss_kld'
 KEY_LOSS_INH = 'loss_inhib'

@@ -53,6 +53,7 @@ __all__ = [
     'sort_pitch_list',
     # multi pitch
     'notes_to_multi_pitch', 'multi_pitch_to_notes', 'stacked_multi_pitch_to_multi_pitch',
+    'notes_to_velocity', 'extract_note_velocities',
     'multi_pitch_to_stacked_multi_pitch', 'stacked_notes_to_stacked_multi_pitch',
     'stacked_pitch_list_to_stacked_multi_pitch', 'tablature_to_stacked_multi_pitch',
     'logistic_to_stacked_multi_pitch',
@@ -662,6 +663,84 @@ def notes_to_multi_pitch(pitches, intervals, times, profile, include_offsets=Tru
     multi_pitch = (np.cumsum(diff[:, :-1], axis=1) > 0).astype(float)
 
     return multi_pitch
+
+
+def notes_to_velocity(pitches, intervals, velocities, times, profile,
+                      include_offsets=True):
+    """Rasterize per-note velocities into an (F, T) map in [0, 1].
+
+    The velocity analog of :func:`notes_to_multi_pitch` (closing the
+    reference's velocity TODO, ``models/onsetsframes.py:13``): each note's
+    span carries its velocity; overlapping same-pitch notes keep the louder
+    one. MIDI-scale velocities (> 1) are normalized by 127.
+    """
+
+    num_pitches = profile.get_range_len()
+    times = np.asarray(times)
+    num_frames = len(times)
+
+    velocity = np.zeros((num_pitches, num_frames))
+
+    if num_frames == 0 or len(np.atleast_1d(pitches)) == 0:
+        return velocity
+
+    _times = np.append(times, times[-1] + estimate_hop_length(times))
+
+    pitches = np.asarray(pitches, dtype=float)
+    intervals = np.asarray(intervals).reshape(-1, 2)
+    velocities = np.asarray(velocities, dtype=float).reshape(-1)
+    if velocities.size and velocities.max() > 1.0:
+        velocities = velocities / 127.0
+
+    # Same validity rule as filter_notes (keep velocities aligned)
+    valid = np.logical_and(intervals[:, 0] <= np.max(_times),
+                           intervals[:, 1] >= np.min(_times))
+    rounded = np.round(pitches)
+    valid &= np.logical_and(rounded >= profile.low, rounded <= profile.high)
+
+    pitches, intervals, velocities = pitches[valid], intervals[valid], velocities[valid]
+    if len(pitches) == 0:
+        return velocity
+
+    pitch_rows = np.round(pitches - profile.low).astype(int)
+    onset_frames = np.clip(np.searchsorted(_times, intervals[:, 0], side='right') - 1,
+                           0, num_frames - 1)
+    offset_frames = np.clip(np.searchsorted(_times, intervals[:, 1], side='right') - 1,
+                            0, num_frames - 1)
+    ends = np.maximum(offset_frames + int(include_offsets), onset_frames + 1)
+    ends = np.minimum(ends, num_frames)
+
+    # Loudest-wins painting, quietest notes first
+    order = np.argsort(velocities, kind='stable')
+    for i in order:
+        velocity[pitch_rows[i], onset_frames[i]: ends[i]] = velocities[i]
+
+    return velocity
+
+
+def extract_note_velocities(batched_notes, velocity, times, profile):
+    """Read each note's velocity off an (F, T) velocity map at its onset.
+
+    ``batched_notes`` is (N, 3); returns an (N,) array in [0, 1]. Inverse of
+    :func:`notes_to_velocity` at onset frames — used to attach predicted
+    velocities to decoded notes.
+    """
+
+    batched_notes = np.asarray(batched_notes).reshape(-1, 3)
+    velocity = to_numpy(velocity)
+    times = np.asarray(times)
+
+    if len(batched_notes) == 0:
+        return np.empty(0)
+
+    _times = np.append(times, times[-1] + estimate_hop_length(times))
+
+    rows = np.clip(np.round(batched_notes[:, 2] - profile.low).astype(int),
+                   0, velocity.shape[0] - 1)
+    frames = np.clip(np.searchsorted(_times, batched_notes[:, 0], side='right') - 1,
+                     0, velocity.shape[1] - 1)
+
+    return velocity[rows, frames]
 
 
 def multi_pitch_to_notes(multi_pitch, times, profile, onsets=None, offsets=None):

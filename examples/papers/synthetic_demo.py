@@ -62,6 +62,14 @@ def config():
     track_duration = 12.0
     notes_per_track = 30
 
+    # Domain difficulty (defaults = clean tones; e.g.
+    # ``noise_snr_db=12 reverb_time=0.25 timbre_jitter=0.3
+    # velocity_range=[0.4,1.0]`` for the stress domain)
+    noise_snr_db = None
+    reverb_time = 0.0
+    velocity_range = None
+    timbre_jitter = 0.0
+
     # Whether to shard batches across all local devices (data parallel)
     data_parallel = False
 
@@ -73,7 +81,13 @@ def config():
 def synthetic_demo(sample_rate, hop_length, num_frames, iterations,
                    checkpoints, batch_size, learning_rate, warmup_steps,
                    num_train_tracks, num_test_tracks, track_duration,
-                   notes_per_track, data_parallel, seed, root_dir):
+                   notes_per_track, noise_snr_db, reverb_time,
+                   velocity_range, timbre_jitter, data_parallel, seed,
+                   root_dir):
+    difficulty = dict(noise_snr_db=noise_snr_db, reverb_time=reverb_time,
+                      velocity_range=(tuple(velocity_range)
+                                      if velocity_range else None),
+                      timbre_jitter=timbre_jitter)
     tools.seed_everything(seed)
 
     profile = tools.PianoProfile()
@@ -97,14 +111,15 @@ def synthetic_demo(sample_rate, hop_length, num_frames, iterations,
                                num_tracks=num_train_tracks,
                                track_duration=track_duration,
                                notes_per_track=notes_per_track,
-                               save_data=False, seed=seed)
+                               save_data=False, seed=seed, **difficulty)
 
     test_set = SyntheticPiano(base_dir=os.path.join(root_dir, 'data_test'),
                               data_proc=data_proc, num_frames=None,
                               num_tracks=num_test_tracks,
                               track_duration=track_duration,
                               notes_per_track=notes_per_track,
-                              save_data=False, seed=seed + 1, splits=['test'])
+                              save_data=False, seed=seed + 1, splits=['test'],
+                              **difficulty)
 
     train_loader = DataLoader(train_set, batch_size=batch_size, shuffle=True,
                               drop_last=True, seed=seed)
