@@ -239,7 +239,10 @@ def notes_on_device(multi_pitch, onsets=None, capacity=1024):
     # gather/scatter pass).
     idxs = jnp.arange(n, dtype=jnp.int32)
     keys = jnp.where(flat, n - idxs, 0)
-    top, _ = jax.lax.top_k(keys, capacity)
+    effective = min(capacity, n)
+    top, _ = jax.lax.top_k(keys, effective)
+    if effective < capacity:
+        top = jnp.pad(top, (0, capacity - effective))
 
     live = top > 0
     flat_idx = jnp.where(live, n - top, 0)

@@ -26,6 +26,7 @@ __all__ = [
     'StackedNoteTranscriber',
     'IterativeStackedNoteTranscriber',
     'NoteTranscriber',
+    'DeviceNoteTranscriber',
     'IterativeNoteTranscriber',
     'StackedMultiPitchRefiner',
     'MultiPitchRefiner',
@@ -367,6 +368,70 @@ class NoteTranscriber(StackedNoteTranscriber):
     def write(self, batched_notes, track):
         pitches, intervals = tools.batched_notes_to_notes(batched_notes)
         super().write(tools.notes_to_stacked_notes(pitches, intervals), track)
+
+
+class DeviceNoteTranscriber(Estimator):
+    """Single-slice note decode that runs ENTIRELY on device.
+
+    TPU-native serving estimator (no reference counterpart): the O(F*T)
+    note segmentation happens in the accelerator via
+    ``ops.decode.notes_on_device`` and only fixed-capacity compact note
+    buffers cross to the host (O(capacity) transfer + O(notes) host work).
+    Output is bit-for-bit identical to :class:`NoteTranscriber` without
+    inhibition (tested); use :class:`NoteTranscriber` when an onset
+    inhibition window is needed. ``minimum_duration`` filtering runs on the
+    decoded notes (O(notes)).
+    """
+
+    def __init__(self, profile, capacity=4096, minimum_duration=None,
+                 multi_pitch_key=None, onsets_key=None, estimates_key=None,
+                 save_dir=None):
+        super().__init__(profile=profile, estimates_key=estimates_key,
+                         save_dir=save_dir)
+
+        self.capacity = capacity
+        self.minimum_duration = minimum_duration
+        self.multi_pitch_key = tools.KEY_MULTIPITCH if multi_pitch_key is None else multi_pitch_key
+        self.onsets_key = tools.KEY_ONSETS if onsets_key is None else onsets_key
+
+        import functools
+
+        import jax
+
+        from .ops import decode as _decode
+        self._decode_ops = _decode
+        self._device_decode = jax.jit(functools.partial(
+            _decode.notes_on_device, capacity=capacity))
+
+    @staticmethod
+    def get_default_key():
+        return tools.KEY_NOTES
+
+    def estimate(self, raw_output):
+        import jax.numpy as jnp
+
+        multi_pitch = tools.unpack_dict(raw_output, self.multi_pitch_key)
+        onsets = tools.unpack_dict(raw_output, self.onsets_key)
+        times = tools.unpack_dict(raw_output, tools.KEY_TIMES)
+
+        rows, on, off, count = self._device_decode(
+            jnp.asarray(multi_pitch),
+            None if onsets is None else jnp.asarray(onsets))
+
+        pitches, intervals = self._decode_ops.notes_from_device(
+            rows, on, off, count, times, self.profile)
+
+        if self.minimum_duration is not None:
+            pitches, intervals = filter_notes_by_duration(
+                pitches, intervals, self.minimum_duration)
+
+        return tools.notes_to_batched_notes(pitches, intervals)
+
+    def write(self, batched_notes, track):
+        tag = tools.get_tag(track)
+        path = os.path.join(self.save_dir, f'{tag}.{tools.TXT_EXT}')
+        pitches, intervals = tools.batched_notes_to_notes(batched_notes)
+        tools.write_notes(pitches, intervals, path)
 
 
 class IterativeNoteTranscriber(IterativeStackedNoteTranscriber):

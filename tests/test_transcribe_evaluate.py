@@ -327,3 +327,33 @@ def test_stacked_pitch_list_evaluator(guitar):
     for slc in (0, 1):
         assert abs(results[slc]['0.5'][tools.KEY_F1] - 1.0) < 1e-9
         assert abs(results[slc]['0.25'][tools.KEY_F1] - 1.0) < 1e-9
+
+
+def test_device_note_transcriber_matches_host():
+    """DeviceNoteTranscriber == NoteTranscriber (no inhibition), bit-for-bit."""
+
+    from amt_tools_tpu.transcribe import NoteTranscriber, DeviceNoteTranscriber
+    from amt_tools_tpu.tools.instrument import PianoProfile
+    from amt_tools_tpu import tools
+
+    profile = PianoProfile()
+    rng = np.random.RandomState(3)
+
+    for trial in range(3):
+        mp = (rng.rand(profile.get_range_len(), 40) > 0.9).astype(np.float32)
+        onsets = (mp * (rng.rand(*mp.shape) > 0.5)).astype(np.float32) \
+            if trial else None
+        times = np.arange(40) * 0.032
+
+        track = {tools.KEY_MULTIPITCH: mp, tools.KEY_TIMES: times}
+        if onsets is not None:
+            track[tools.KEY_ONSETS] = onsets
+
+        min_dur = 0.05 if trial == 2 else None
+        host = NoteTranscriber(profile=profile, minimum_duration=min_dur)
+        device = DeviceNoteTranscriber(profile=profile, minimum_duration=min_dur)
+
+        want = host.process_track(dict(track), 'x')[tools.KEY_NOTES]
+        got = device.process_track(dict(track), 'x')[tools.KEY_NOTES]
+
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
