@@ -20,6 +20,8 @@ from . import evaluate
 from . import inference
 from . import train
 from . import parallel
+from . import serving
 
 __all__ = ['tools', 'ops', 'features', 'models', 'datasets', 'metrics',
-           'transcribe', 'evaluate', 'inference', 'train', 'parallel']
+           'transcribe', 'evaluate', 'inference', 'train', 'parallel',
+           'serving']

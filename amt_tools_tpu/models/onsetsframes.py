@@ -388,18 +388,17 @@ class OnsetsFrames2(OnsetsFrames):
             velocity_head = RegressionBank(dim_in=self.dim_am,
                                            dim_out=self.dim_out)
 
-            # Velocity loss needs both the velocity map and onset locations
             if tools.KEY_LOSS in output and tools.KEY_VELOCITY in batch:
-                if tools.KEY_ONSETS in batch:
-                    onsets_ref = batch[tools.KEY_ONSETS]
-                else:
-                    from ..ops import decode
-                    onsets_ref = decode.multi_pitch_to_onsets(
-                        batch[tools.KEY_MULTIPITCH])
+                # MSE over every cell carrying a velocity target — the full
+                # note spans. (The O&F2 paper uses onset locations only;
+                # velocity is constant across a note's span so the optimum
+                # is the same, and spans carry ~30x more signal per crop.)
+                velocity_ref = batch[tools.KEY_VELOCITY]
+                mask = (velocity_ref > 0).astype(jnp.float32)
 
                 loss = output[tools.KEY_LOSS]
                 loss[tools.KEY_LOSS_VELOCITY] = velocity_head.get_loss(
-                    velocity_est, batch[tools.KEY_VELOCITY], onsets_ref)
+                    velocity_est, velocity_ref, mask)
                 loss[tools.KEY_LOSS_TOTAL] = (loss[tools.KEY_LOSS_TOTAL] +
                                               loss[tools.KEY_LOSS_VELOCITY])
                 output[tools.KEY_LOSS] = loss

@@ -133,46 +133,25 @@ def build_pipeline(batch_size, clip_seconds=60.0, complexity=3):
     variables = _calibrate_activity(model, variables, mel,
                                     jnp.asarray(np.stack(clips[:4])))
 
-    def pipeline_fn(variables, audio):
-        """Audio -> features -> model -> compact on-device note buffers."""
+    from amt_tools_tpu.serving import TranscriptionPipeline
 
-        feats = mel.process_jax(audio)                      # (B, 1, F, T)
-        batch = model.pre_proc({tools.KEY_FEATS: feats})
-        raw = model.apply(variables, batch[tools.KEY_FEATS], train=False)
+    pipeline = TranscriptionPipeline(model, variables, mel,
+                                     capacity=NOTE_CAPACITY)
 
-        multi_pitch = decode.threshold(
-            jax.nn.sigmoid(jnp.swapaxes(raw[tools.KEY_MULTIPITCH], -1, -2)), 0.5)
-        onsets = decode.threshold(
-            jax.nn.sigmoid(jnp.swapaxes(raw[tools.KEY_ONSETS], -1, -2)), 0.5)
-
-        return jax.vmap(
-            lambda m, o: decode.notes_on_device(m, o, capacity=NOTE_CAPACITY)
-        )(multi_pitch, onsets)
-
-    device_pipeline = jax.jit(pipeline_fn)
-
-    times = mel.get_times(clips[0])
-
-    def host_finalize(buffers):
-        rows, on, off, counts = (np.asarray(b) for b in buffers)
-        return [decode.notes_from_device(rows[b], on[b], off[b], counts[b],
-                                         times, profile)
-                for b in range(rows.shape[0])]
-
-    return device_pipeline, host_finalize, variables, audio
+    return pipeline, audio
 
 
-def measure(device_pipeline, host_finalize, variables, audio, runs=8):
+def measure(pipeline, audio, runs=8):
     """Steady-state pipelined throughput: dispatch batch n+1 (JAX async)
     before host-finalizing batch n, as a production serving loop would."""
 
     start = time.perf_counter()
-    pending = device_pipeline(variables, audio)
+    pending = pipeline.dispatch(audio)
     for _ in range(runs - 1):
-        upcoming = device_pipeline(variables, audio)
-        host_finalize(pending)
+        upcoming = pipeline.dispatch(audio)
+        pipeline.finalize(pending)
         pending = upcoming
-    notes = host_finalize(pending)
+    notes = pipeline.finalize(pending)
     elapsed = time.perf_counter() - start
 
     return elapsed, notes
@@ -191,12 +170,11 @@ def main():
     batch_size, clip_seconds, runs = 128, 60.0, 8
 
     _log('building pipeline (initializing parameters)...')
-    device_pipeline, host_finalize, variables, audio = build_pipeline(
-        batch_size, clip_seconds)
+    pipeline, audio = build_pipeline(batch_size, clip_seconds)
 
     _log('compiling device pipeline...')
     t0 = time.perf_counter()
-    lowered = device_pipeline.lower(variables, audio)
+    lowered = pipeline._pipeline.lower(pipeline.variables, np.asarray(audio))
     compiled = lowered.compile()
     _log(f'compile: {time.perf_counter() - t0:.1f}s')
 
@@ -212,11 +190,10 @@ def main():
 
     # Warm-up run (also materializes any lazy host state)
     t0 = time.perf_counter()
-    host_finalize(device_pipeline(variables, audio))
+    pipeline(audio)
     _log(f'first run: {time.perf_counter() - t0:.1f}s')
 
-    elapsed, notes = measure(device_pipeline, host_finalize, variables,
-                             audio, runs)
+    elapsed, notes = measure(pipeline, audio, runs)
 
     total_notes = sum(len(p) for p, _ in notes)
     _log(f'decoded {total_notes} notes/batch on device '
@@ -256,9 +233,9 @@ def sweep():
         pass
 
     for batch_size in (1, 4, 16, 64, 128, 192):
-        pipeline, finalize, variables, audio = build_pipeline(batch_size)
-        finalize(pipeline(variables, audio))  # compile+warm
-        elapsed, _ = measure(pipeline, finalize, variables, audio, runs=6)
+        pipeline, audio = build_pipeline(batch_size)
+        pipeline(audio)  # compile+warm
+        elapsed, _ = measure(pipeline, audio, runs=6)
         rtf = batch_size * 60.0 * 6 / elapsed
         per_dispatch_ms = elapsed / 6 * 1000
         _log(f'batch {batch_size:4d}: {rtf:10.1f}x RT, '

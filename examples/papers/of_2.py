@@ -62,6 +62,10 @@ def config():
     # steps), the same accounting as the reference (its train.py:118-122).
     warmup_steps = 0
 
+    # Train the O&F2 velocity head (per-pitch note velocities from the
+    # MIDI ground truth; masked MSE at onset locations)
+    estimate_velocity = False
+
     # Whether to shard batches across all local devices (data parallel)
     data_parallel = False
 
@@ -75,7 +79,8 @@ def config():
 @ex.automain
 def onsets_frames_2_run(sample_rate, hop_length, num_frames, iterations,
                         checkpoints, batch_size, learning_rate, warmup_steps,
-                        data_parallel, reset_data, seed, root_dir):
+                        estimate_velocity, data_parallel, reset_data, seed,
+                        root_dir):
     tools.seed_everything(seed)
 
     profile = tools.PianoProfile()
@@ -159,7 +164,8 @@ def onsets_frames_2_run(sample_rate, hop_length, num_frames, iterations,
                                  profile=profile,
                                  in_channels=data_proc.get_num_channels(),
                                  model_complexity=3,
-                                 detach_heads=True)
+                                 detach_heads=True,
+                                 estimate_velocity=estimate_velocity)
 
     optimizer = optax.adam(learning_rate)
 

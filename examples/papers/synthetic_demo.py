@@ -15,13 +15,14 @@ import optax
 import jax
 
 from amt_tools_tpu.datasets import SyntheticPiano, DataLoader
-from amt_tools_tpu.models import OnsetsFrames
+from amt_tools_tpu.models import OnsetsFrames, OnsetsFrames2
 from amt_tools_tpu.features import MelSpec
 
 from amt_tools_tpu.train import train
 from amt_tools_tpu.transcribe import ComboEstimator, NoteTranscriber
 from amt_tools_tpu.evaluate import (ComboEvaluator, LossWrapper,
-                                    MultipitchEvaluator, NoteEvaluator, validate)
+                                    MultipitchEvaluator, NoteEvaluator,
+                                    VelocityEvaluator, validate)
 from amt_tools_tpu.config import Experiment
 from amt_tools_tpu.parallel import get_mesh
 import amt_tools_tpu.tools as tools
@@ -70,6 +71,10 @@ def config():
     velocity_range = None
     timbre_jitter = 0.0
 
+    # Use OnsetsFrames2 with the velocity head (trains/evaluates per-pitch
+    # note velocities); requires velocity_range for non-trivial targets
+    estimate_velocity = False
+
     # Whether to shard batches across all local devices (data parallel)
     data_parallel = False
 
@@ -82,8 +87,8 @@ def synthetic_demo(sample_rate, hop_length, num_frames, iterations,
                    checkpoints, batch_size, learning_rate, warmup_steps,
                    num_train_tracks, num_test_tracks, track_duration,
                    notes_per_track, noise_snr_db, reverb_time,
-                   velocity_range, timbre_jitter, data_parallel, seed,
-                   root_dir):
+                   velocity_range, timbre_jitter, estimate_velocity,
+                   data_parallel, seed, root_dir):
     difficulty = dict(noise_snr_db=noise_snr_db, reverb_time=reverb_time,
                       velocity_range=(tuple(velocity_range)
                                       if velocity_range else None),
@@ -98,11 +103,13 @@ def synthetic_demo(sample_rate, hop_length, num_frames, iterations,
     validation_estimator = ComboEstimator([
         NoteTranscriber(profile=profile, minimum_duration=0.05)])
 
-    validation_evaluator = ComboEvaluator([
-        LossWrapper(),
-        MultipitchEvaluator(),
-        NoteEvaluator(results_key=tools.KEY_NOTE_ON)])
-    validation_evaluator.set_patterns(['loss', 'f1'])
+    evaluators = [LossWrapper(),
+                  MultipitchEvaluator(),
+                  NoteEvaluator(results_key=tools.KEY_NOTE_ON)]
+    if estimate_velocity:
+        evaluators.append(VelocityEvaluator())
+    validation_evaluator = ComboEvaluator(evaluators)
+    validation_evaluator.set_patterns(['loss', 'f1', 'mae'])
 
     print('Generating synthetic partitions...')
 
@@ -124,8 +131,13 @@ def synthetic_demo(sample_rate, hop_length, num_frames, iterations,
     train_loader = DataLoader(train_set, batch_size=batch_size, shuffle=True,
                               drop_last=True, seed=seed)
 
-    model = OnsetsFrames(dim_in=data_proc.get_feature_size(), profile=profile,
-                         model_complexity=2)
+    if estimate_velocity:
+        model = OnsetsFrames2(dim_in=data_proc.get_feature_size(),
+                              profile=profile, model_complexity=2,
+                              estimate_velocity=True)
+    else:
+        model = OnsetsFrames(dim_in=data_proc.get_feature_size(),
+                             profile=profile, model_complexity=2)
 
     mesh = get_mesh() if data_parallel else None
 
@@ -157,6 +169,10 @@ def synthetic_demo(sample_rate, hop_length, num_frames, iterations,
 
     print(f"held-out frame F1: {results[tools.KEY_MULTIPITCH][tools.KEY_F1]:.3f}")
     print(f"held-out note-onset F1: {results[tools.KEY_NOTE_ON][tools.KEY_F1]:.3f}")
+    if estimate_velocity:
+        print(f"held-out velocity MAE: {results[tools.KEY_VELOCITY]['mae']:.3f}")
+        print(f"held-out velocity within 0.1: "
+              f"{results[tools.KEY_VELOCITY]['within_tolerance']:.3f}")
 
     ex.log_scalar('Final Results', results, 0)
 

@@ -1,0 +1,78 @@
+"""TranscriptionPipeline == run_offline + NoteTranscriber, one jitted graph."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from amt_tools_tpu import tools
+from amt_tools_tpu.features import MelSpec
+from amt_tools_tpu.models import OnsetsFrames
+from amt_tools_tpu.serving import TranscriptionPipeline
+from amt_tools_tpu.transcribe import NoteTranscriber
+from amt_tools_tpu.inference import run_offline
+from amt_tools_tpu.datasets.synthetic import render_notes
+
+
+@pytest.fixture(scope='module')
+def setup():
+    profile = tools.PianoProfile()
+    mel = MelSpec(sample_rate=16000, hop_length=512, n_mels=96)
+    model = OnsetsFrames(dim_in=96, profile=profile, model_complexity=2)
+
+    audio = np.stack([
+        render_notes([60.0, 67.0], [[0.2, 0.8], [1.0, 1.6]], 16000, 2.0, seed=s)
+        for s in range(2)])
+
+    feats = mel.process_jax(audio)
+    pre = model.pre_proc({tools.KEY_FEATS: feats})
+    variables = model.init({'params': jax.random.PRNGKey(0),
+                            'dropout': jax.random.PRNGKey(1)},
+                           pre[tools.KEY_FEATS], train=False)
+
+    return profile, mel, model, variables, audio
+
+
+def test_pipeline_matches_offline_path(setup):
+    profile, mel, model, variables, audio = setup
+
+    pipeline = TranscriptionPipeline(model, variables, mel, capacity=512)
+    batch_notes = pipeline(audio)
+
+    assert len(batch_notes) == 2
+
+    estimator = NoteTranscriber(profile=profile)
+
+    for clip, (pitches, intervals) in zip(audio, batch_notes):
+        feats = np.asarray(mel.process_audio(clip))
+        track = {tools.KEY_FEATS: feats,
+                 tools.KEY_TIMES: mel.get_times(clip)}
+        want = run_offline(track, model, variables, estimator)[tools.KEY_NOTES]
+        got = tools.notes_to_batched_notes(pitches, intervals)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_pipeline_pipelined_dispatch(setup):
+    profile, mel, model, variables, audio = setup
+
+    pipeline = TranscriptionPipeline(model, variables, mel, capacity=512)
+
+    # Two in-flight batches, finalized out of order of dispatch completion
+    h1 = pipeline.dispatch(audio)
+    h2 = pipeline.dispatch(audio[::-1].copy())
+    n1, n2 = pipeline.finalize(h1), pipeline.finalize(h2)
+
+    for (p1, i1), (p2, i2) in zip(n1, n2[::-1]):
+        np.testing.assert_array_equal(p1, p2)
+        np.testing.assert_array_equal(i1, i2)
+
+
+def test_pipeline_single_clip_convenience(setup):
+    profile, mel, model, variables, audio = setup
+
+    pipeline = TranscriptionPipeline(model, variables, mel, capacity=512)
+    notes = pipeline(audio[0])   # 1-D input -> batch of one
+
+    assert len(notes) == 1
+    pitches, intervals = notes[0]
+    assert np.asarray(intervals).ndim == 2
