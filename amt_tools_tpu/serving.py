@@ -83,7 +83,12 @@ class TranscriptionPipeline:
         finalizing the previous one to overlap host and device work.
         """
 
-        audio = np.asarray(audio)
+        import jax
+
+        # Keep device-resident inputs on device: np.asarray on a jax.Array
+        # would round-trip the whole batch through the host per dispatch
+        if not isinstance(audio, jax.Array):
+            audio = np.asarray(audio)
         if audio.ndim == 1:
             audio = audio[None]
 
