@@ -68,7 +68,8 @@ class MAPS(TranscriptionDataset):
             offsets = tools.notes_to_offsets(pitches, intervals, times,
                                              self.profile, ambiguity)
             velocity = tools.notes_to_velocity(pitches, intervals, velocities,
-                                               times, self.profile)
+                                               times, self.profile,
+                                               midi_scale=True)
 
             data.update({tools.KEY_FS: fs,
                          tools.KEY_AUDIO: audio,

@@ -616,13 +616,19 @@ class VelocityEvaluator(Evaluator):
         return tools.KEY_VELOCITY
 
     def evaluate(self, estimated, reference):
+        if estimated is None or reference is None:
+            # Missing maps contribute nothing (vs. a fake perfect score that
+            # would inflate the averaged results)
+            return {}
+
         estimated = tools.to_numpy(estimated)
         reference = tools.to_numpy(reference)
 
         active = reference > 0
 
         if not np.any(active):
-            return {'mae': 0.0, 'within_tolerance': 1.0}
+            # Nothing to score on a silent track — contribute nothing
+            return {}
 
         errors = np.abs(estimated[active] - reference[active])
 

@@ -388,6 +388,17 @@ class OnsetsFrames2(OnsetsFrames):
             velocity_head = RegressionBank(dim_in=self.dim_am,
                                            dim_out=self.dim_out)
 
+            if tools.KEY_LOSS in output and tools.KEY_VELOCITY not in batch:
+                # Loud, not silent: a stale ground-truth cache written before
+                # velocity support (or a dataset without velocities) would
+                # otherwise leave the head untrained with no indication —
+                # regenerate caches with reset_data=True
+                import warnings
+                warnings.warn('estimate_velocity=True but the batch carries '
+                              'no velocity ground truth; the velocity head '
+                              'receives no loss. Stale dataset caches need '
+                              'reset_data=True.', category=RuntimeWarning)
+
             if tools.KEY_LOSS in output and tools.KEY_VELOCITY in batch:
                 # MSE over every cell carrying a velocity target — the full
                 # note spans. (The O&F2 paper uses onset locations only;

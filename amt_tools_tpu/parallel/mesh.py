@@ -106,9 +106,13 @@ def pad_shard_batch(batch, mesh, axis='data'):
     padded_size = -(-batch_size // axis_size) * axis_size
 
     def place(leaf):
-        leaf = np.asarray(leaf)
+        # Don't pull device-resident leaves through the host unless padding
+        # actually has to happen
+        if not hasattr(leaf, 'ndim'):
+            leaf = np.asarray(leaf)
         if leaf.ndim >= 1 and leaf.shape[0] == batch_size:
             if padded_size != batch_size:
+                leaf = np.asarray(leaf)
                 pad = np.zeros((padded_size - batch_size,) + leaf.shape[1:],
                                dtype=leaf.dtype)
                 leaf = np.concatenate([leaf, pad], axis=0)

@@ -72,15 +72,25 @@ class TranscriptionPipeline:
             )(multi_pitch, onsets)
 
         self._pipeline = jax.jit(pipeline)
-        self._times = None
-        self._num_samples = None
+        self._times_cache = {}
+
+    def _times_for(self, num_samples):
+        """Frame times depend only on the clip length; cache per length."""
+
+        if num_samples not in self._times_cache:
+            self._times_cache[num_samples] = self.data_proc.get_times(
+                np.zeros(num_samples, dtype=np.float32))
+
+        return self._times_cache[num_samples]
 
     def dispatch(self, audio):
         """Start the device computation for one (B, N) audio batch.
 
         Returns an opaque handle (device buffers, dispatched asynchronously);
         pass it to :meth:`finalize`. Dispatch the next batch before
-        finalizing the previous one to overlap host and device work.
+        finalizing the previous one to overlap host and device work;
+        in-flight handles of different clip lengths are fine (each handle
+        carries its own time grid).
         """
 
         import jax
@@ -92,20 +102,18 @@ class TranscriptionPipeline:
         if audio.ndim == 1:
             audio = audio[None]
 
-        if self._num_samples != audio.shape[-1]:
-            # Times depend only on the clip length; cache per length
-            self._times = self.data_proc.get_times(audio[0])
-            self._num_samples = audio.shape[-1]
+        times = self._times_for(audio.shape[-1])
 
-        return self._pipeline(self.variables, audio)
+        return self._pipeline(self.variables, audio), times
 
     def finalize(self, handle):
         """Block on a :meth:`dispatch` handle -> per-clip note groups."""
 
-        rows, on, off, counts = (np.asarray(b) for b in handle)
+        buffers, times = handle
+        rows, on, off, counts = (np.asarray(b) for b in buffers)
 
         return [decode.notes_from_device(rows[b], on[b], off[b], counts[b],
-                                         self._times, self.profile)
+                                         times, self.profile)
                 for b in range(rows.shape[0])]
 
     def __call__(self, audio):

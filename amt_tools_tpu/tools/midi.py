@@ -123,6 +123,9 @@ def parse_midi_events(midi_path):
         if fps == 29:
             fps = 29.97
         ticks_per_frame = division & 0xFF
+        if ticks_per_frame == 0:
+            raise ValueError(f'Malformed SMPTE time division '
+                             f'0x{division:04x}: zero ticks per frame')
         seconds_per_tick = 1.0 / (fps * ticks_per_frame)
         ticks_per_beat = None
     else:

@@ -666,13 +666,17 @@ def notes_to_multi_pitch(pitches, intervals, times, profile, include_offsets=Tru
 
 
 def notes_to_velocity(pitches, intervals, velocities, times, profile,
-                      include_offsets=True):
+                      include_offsets=True, midi_scale=None):
     """Rasterize per-note velocities into an (F, T) map in [0, 1].
 
     The velocity analog of :func:`notes_to_multi_pitch` (closing the
     reference's velocity TODO, ``models/onsetsframes.py:13``): each note's
     span carries its velocity; overlapping same-pitch notes keep the louder
-    one. MIDI-scale velocities (> 1) are normalized by 127.
+    one. ``midi_scale=True`` divides by 127 (0-127 MIDI velocities),
+    ``False`` takes values as already-normalized [0, 1]; the default
+    ``None`` infers per call (max > 1 -> MIDI scale) — pass it explicitly
+    when rasterizing many tracks of known provenance so a track whose
+    loudest note happens to be <= 1 is not mis-scaled.
     """
 
     num_pitches = profile.get_range_len()
@@ -689,7 +693,9 @@ def notes_to_velocity(pitches, intervals, velocities, times, profile,
     pitches = np.asarray(pitches, dtype=float)
     intervals = np.asarray(intervals).reshape(-1, 2)
     velocities = np.asarray(velocities, dtype=float).reshape(-1)
-    if velocities.size and velocities.max() > 1.0:
+    if midi_scale is None:
+        midi_scale = bool(velocities.size and velocities.max() > 1.0)
+    if midi_scale:
         velocities = velocities / 127.0
 
     # Same validity rule as filter_notes (keep velocities aligned)

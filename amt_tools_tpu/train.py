@@ -206,9 +206,9 @@ def train(model, train_loader, optimizer, iterations, checkpoints=0,
     state (the step count) lives in ``opt_state`` and survives checkpointing
     and resume. Unlike the reference's epoch-level stepping, the schedule
     advances per optimizer step (per batch) — compute warmup/decay horizons
-    in optimizer steps (iterations x batches per pass). Requires
-    ``state=None`` (or a state initialized with the already-chained
-    optimizer).
+    in optimizer steps (iterations x batches per pass). Incompatible with a
+    prepared ``state`` (raises); chain the schedule into your optimizer
+    yourself in that case.
 
     ``val_bucket`` pads whole-track validation to frame-count buckets so one
     compiled executable serves every track length (0 disables).
@@ -220,6 +220,13 @@ def train(model, train_loader, optimizer, iterations, checkpoints=0,
         if not callable(scheduler):
             raise ValueError('scheduler must be an optax-style schedule: a '
                              'callable mapping step count -> LR multiplier.')
+        if state is not None:
+            raise ValueError(
+                'scheduler and a prepared state cannot be combined: the '
+                'schedule is chained onto the optimizer here, so a state '
+                'built from any other optimizer mismatches. Either pass '
+                'state=None, or chain optax.scale_by_schedule into your '
+                'optimizer yourself and pass scheduler=None.')
         optimizer = optax.chain(optimizer, optax.scale_by_schedule(scheduler))
 
     os.makedirs(log_dir, exist_ok=True)

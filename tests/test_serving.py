@@ -76,3 +76,30 @@ def test_pipeline_single_clip_convenience(setup):
     assert len(notes) == 1
     pitches, intervals = notes[0]
     assert np.asarray(intervals).ndim == 2
+
+
+def test_pipeline_mixed_length_handles(setup):
+    """In-flight handles of different clip lengths finalize correctly."""
+
+    profile, mel, model, variables, audio = setup
+
+    pipeline = TranscriptionPipeline(model, variables, mel, capacity=512)
+
+    long_audio = np.concatenate([audio, audio], axis=-1)   # 4 s clips
+    h_long = pipeline.dispatch(long_audio)
+    h_short = pipeline.dispatch(audio)                     # 2 s clips
+
+    notes_long = pipeline.finalize(h_long)    # finalized AFTER a shorter
+    notes_short = pipeline.finalize(h_short)  # batch was dispatched
+
+    # Short results equal the single-batch reference
+    ref_short = pipeline(audio)
+    for (p1, i1), (p2, i2) in zip(notes_short, ref_short):
+        np.testing.assert_array_equal(p1, p2)
+        np.testing.assert_array_equal(i1, i2)
+
+    # Long-clip intervals may legitimately extend past the short grid
+    ref_long = pipeline(long_audio)
+    for (p1, i1), (p2, i2) in zip(notes_long, ref_long):
+        np.testing.assert_array_equal(p1, p2)
+        np.testing.assert_array_equal(i1, i2)

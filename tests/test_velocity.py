@@ -144,9 +144,11 @@ def test_velocity_evaluator():
     np.testing.assert_allclose(results['mae'], 0.125)
     np.testing.assert_allclose(results['within_tolerance'], 0.5)
 
-    # No active reference cells -> perfect by definition, no NaNs
+    # No active reference cells -> contributes nothing (no fake perfect
+    # score inflating averages), and no NaNs
     empty = evaluator.evaluate(np.zeros((2, 2)), np.zeros((2, 2)))
-    assert empty['mae'] == 0.0 and empty['within_tolerance'] == 1.0
+    assert empty == {}
+    assert evaluator.evaluate(None, None) == {}
 
 
 def test_synthetic_piano_velocity_ground_truth():
