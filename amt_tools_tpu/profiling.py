@@ -12,7 +12,8 @@ from collections import defaultdict
 
 import numpy as np
 
-__all__ = ['trace', 'StageTimer', 'block_and_time']
+__all__ = ['trace', 'StageTimer', 'block_and_time',
+           'peak_flops', 'compiled_flops', 'mfu']
 
 
 @contextlib.contextmanager
@@ -98,3 +99,65 @@ class StageTimer(object):
 
         return {stage: float(np.sum(samples))
                 for stage, samples in self.times.items()}
+
+
+def peak_flops(device=None):
+    """Peak bf16 matmul FLOP/s of a TPU device (0.0 if unknown).
+
+    Published per-chip dense peaks; used as the MFU denominator.
+    """
+
+    import jax
+
+    if device is None:
+        device = jax.devices()[0]
+
+    kind = getattr(device, 'device_kind', '').lower()
+    table = {
+        'v5 lite': 197e12, 'v5e': 197e12,
+        'v5p': 459e12, 'v5': 459e12,
+        'v4': 275e12,
+        'v6 lite': 918e12, 'v6e': 918e12,
+    }
+    for key, value in table.items():
+        if key in kind:
+            return value
+
+    return 0.0
+
+
+def compiled_flops(fn, *args, **kwargs):
+    """FLOPs XLA accounts to one call of a jitted function.
+
+    Lowers + compiles ``fn`` for the given arguments and reads the
+    executable's cost analysis. Combine with a measured wall-clock and
+    :func:`peak_flops` for MFU::
+
+        flops = profiling.compiled_flops(step, state, batch)
+        _, secs = profiling.block_and_time(step, state, batch, repeats=5)
+        mfu = flops / secs / profiling.peak_flops()
+    """
+
+    compiled = fn.lower(*args, **kwargs).compile()
+
+    cost = compiled.cost_analysis()
+    if isinstance(cost, list):
+        cost = cost[0]
+
+    return float(cost.get('flops', 0.0))
+
+
+def mfu(fn, *args, repeats=5, device=None, **kwargs):
+    """Measured model FLOPs utilization of a jitted callable.
+
+    Returns ``(mfu_fraction, achieved_flops_per_sec, seconds_per_call)``;
+    ``mfu_fraction`` is 0.0 when the device peak is unknown.
+    """
+
+    flops = compiled_flops(fn, *args, **kwargs)
+    _, secs = block_and_time(fn, *args, repeats=repeats, **kwargs)
+
+    achieved = flops / secs
+    peak = peak_flops(device)
+
+    return (achieved / peak if peak else 0.0), achieved, secs

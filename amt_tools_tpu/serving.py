@@ -39,10 +39,14 @@ class TranscriptionPipeline:
         Sigmoid threshold for activation maps.
     use_onsets : bool
         Gate note starts with the model's onset head when available.
+    mesh : jax.sharding.Mesh, optional
+        Data-parallel serving: clips shard over the mesh's ``data`` axis
+        (batch must be divisible by it), parameters replicate, and XLA runs
+        the whole pipeline SPMD across the chips.
     """
 
     def __init__(self, model, variables, data_proc, capacity=2048,
-                 threshold=0.5, use_onsets=True):
+                 threshold=0.5, use_onsets=True, mesh=None):
         import jax
         import jax.numpy as jnp
 
@@ -51,6 +55,11 @@ class TranscriptionPipeline:
         self.data_proc = data_proc
         self.capacity = capacity
         self.profile = model.profile
+        self.mesh = mesh
+
+        if mesh is not None:
+            from .parallel import replicate
+            self.variables = replicate(self.variables, mesh)
 
         def pipeline(variables, audio):
             feats = data_proc.process_jax(audio)
@@ -101,6 +110,12 @@ class TranscriptionPipeline:
             audio = np.asarray(audio)
         if audio.ndim == 1:
             audio = audio[None]
+
+        if self.mesh is not None and not (
+                isinstance(audio, jax.Array) and
+                len(audio.sharding.device_set) > 1):
+            from .parallel import shard_batch
+            audio = shard_batch({'audio': audio}, self.mesh)['audio']
 
         times = self._times_for(audio.shape[-1])
 

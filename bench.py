@@ -36,22 +36,6 @@ def _log(msg):
     print(f'[bench] {msg}', file=sys.stderr, flush=True)
 
 
-def _peak_flops(device):
-    """Peak bf16 matmul FLOP/s for the benchmark chip (0 if unknown)."""
-
-    kind = getattr(device, 'device_kind', '').lower()
-    table = {
-        'v5 lite': 197e12, 'v5e': 197e12,
-        'v5p': 459e12, 'v5': 459e12,
-        'v4': 275e12,
-        'v6 lite': 918e12, 'v6e': 918e12,
-    }
-    for key, peak in table.items():
-        if key in kind:
-            return peak
-    return 0.0
-
-
 def _calibrate_activity(model, variables, mel, audio,
                         pitch_rate=0.03, onset_rate=0.001):
     """Shift output-layer biases so activation rates match a trained model.
@@ -172,21 +156,18 @@ def main():
     _log('building pipeline (initializing parameters)...')
     pipeline, audio = build_pipeline(batch_size, clip_seconds)
 
+    from amt_tools_tpu import profiling
+
     _log('compiling device pipeline...')
     t0 = time.perf_counter()
-    lowered = pipeline._pipeline.lower(pipeline.variables, np.asarray(audio))
-    compiled = lowered.compile()
-    _log(f'compile: {time.perf_counter() - t0:.1f}s')
-
     # Model+feature FLOPs per dispatched batch, from XLA's own accounting
     flops_per_run = 0.0
     try:
-        cost = compiled.cost_analysis()
-        if isinstance(cost, list):
-            cost = cost[0]
-        flops_per_run = float(cost.get('flops', 0.0))
+        flops_per_run = profiling.compiled_flops(
+            pipeline._pipeline, pipeline.variables, audio)
     except Exception as exc:
         _log(f'cost analysis unavailable: {exc}')
+    _log(f'compile: {time.perf_counter() - t0:.1f}s')
 
     # Warm-up run (also materializes any lazy host state)
     t0 = time.perf_counter()
@@ -203,7 +184,7 @@ def main():
     rtf = audio_seconds * runs / elapsed
 
     achieved_flops = flops_per_run * runs / elapsed
-    peak = _peak_flops(jax.devices()[0])
+    peak = profiling.peak_flops(jax.devices()[0])
     mfu = achieved_flops / peak if peak else 0.0
     _log(f'achieved {achieved_flops / 1e12:.2f} TFLOP/s, peak {peak / 1e12:.0f} '
          f'TFLOP/s (bf16), MFU {mfu * 100:.2f}%')

@@ -103,3 +103,26 @@ def test_pipeline_mixed_length_handles(setup):
     for (p1, i1), (p2, i2) in zip(notes_long, ref_long):
         np.testing.assert_array_equal(p1, p2)
         np.testing.assert_array_equal(i1, i2)
+
+
+def test_pipeline_data_parallel_matches_single_device(setup):
+    """A mesh-sharded pipeline decodes the same notes as the unsharded one."""
+
+    from amt_tools_tpu.parallel import get_mesh
+
+    profile, mel, model, variables, audio = setup
+
+    # 8 clips over the 8 virtual devices
+    audio8 = np.concatenate([audio] * 4, axis=0)
+
+    single = TranscriptionPipeline(model, variables, mel, capacity=512)
+    sharded = TranscriptionPipeline(model, variables, mel, capacity=512,
+                                    mesh=get_mesh())
+
+    want = single(audio8)
+    got = sharded(audio8)
+
+    assert len(got) == 8
+    for (p1, i1), (p2, i2) in zip(got, want):
+        np.testing.assert_array_equal(p1, p2)
+        np.testing.assert_array_equal(i1, i2)
