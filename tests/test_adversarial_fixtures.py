@@ -146,3 +146,69 @@ class TestGuitarSetStyleJAMS:
         frame_02 = int(0.2 * 22050 / 512)
         active1 = pitch_axis[smp[1, :, frame_02] > 0]
         np.testing.assert_array_equal(active1, [45])
+
+
+class TestAdversarialMIDIThroughMAPSLoader:
+    """The committed format-1 interleaved SMF driven through the real MAPS
+    dataset class (wav+mid+txt layout, gt caching, velocity map)."""
+
+    @pytest.fixture(scope='class')
+    def dataset_and_track(self, tmp_path_factory):
+        import shutil
+
+        from amt_tools_tpu import tools
+        from amt_tools_tpu.datasets import MAPS
+        from amt_tools_tpu.features import MelSpec
+
+        root = tmp_path_factory.mktemp('maps_adversarial')
+        mus_dir = os.path.join(str(root), 'MAPS', 'AkPnBcht', 'MUS')
+        os.makedirs(mus_dir)
+
+        track = 'MAPS_MUS-fixture_AkPnBcht'
+        shutil.copy(os.path.join(FIXTURES, 'format1_interleaved.mid'),
+                    os.path.join(mus_dir, f'{track}.mid'))
+
+        fs = 16000
+        audio = np.random.RandomState(0).randn(int(1.5 * fs)).astype(np.float32) * 0.1
+        tools.write_wav(os.path.join(mus_dir, f'{track}.wav'), audio, fs)
+        open(os.path.join(mus_dir, f'{track}.txt'), 'w').close()
+
+        dataset = MAPS(base_dir=os.path.join(str(root), 'MAPS'),
+                       splits=['AkPnBcht'],
+                       data_proc=MelSpec(sample_rate=fs, hop_length=512,
+                                         n_mels=32),
+                       num_frames=None, store_data=True, save_data=False)
+
+        return dataset, track
+
+    def test_notes_and_velocity_ground_truth(self, dataset_and_track):
+        from amt_tools_tpu import tools
+
+        dataset, track = dataset_and_track
+        data = dataset.get_track_data(track)
+
+        # Hand-derived notes (see TestFormat1Interleaved)
+        batched = np.asarray(data[tools.KEY_NOTES]).reshape(-1, 3)
+        np.testing.assert_array_equal(batched[:, 2], [60, 55, 64, 48])
+        pedal_up = 1.0 + 140.0 / 1920.0
+        np.testing.assert_allclose(batched[:, 0], [0.0, 0.125, 0.25, 1.125],
+                                   atol=1e-9)
+        np.testing.assert_allclose(batched[:, 1],
+                                   [pedal_up, pedal_up, pedal_up, 1.25],
+                                   atol=1e-9)
+
+        # Velocity map: normalized MIDI velocities on the note spans
+        vmap_ = data[tools.KEY_VELOCITY]
+        got = tools.extract_note_velocities(batched, vmap_,
+                                            data[tools.KEY_TIMES]
+                                            if tools.KEY_TIMES in data else
+                                            tools.get_frame_times(
+                                                int(1.5 * 16000), 16000, 512),
+                                            dataset.profile)
+        np.testing.assert_allclose(got, np.array([100, 80, 90, 70]) / 127.0)
+
+        # Multi-pitch active where the (sustained) notes are
+        mp = data[tools.KEY_MULTIPITCH]
+        c4_row = mp[60 - dataset.profile.low]
+        assert c4_row[0] == 1.0              # active from t=0
+        assert c4_row.sum() > 30             # sustained past one second
