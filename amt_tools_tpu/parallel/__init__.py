@@ -9,7 +9,9 @@ replicated, and XLA inserts the gradient ``psum`` over ICI automatically.
 from .mesh import (get_mesh, shard_batch, pad_shard_batch, replicate,
                    data_parallel_shardings, local_batch_to_global)
 from .tp import tp_rules_default, shard_params_tp
+from .cp import framify_time_sharded, shard_time
 
 __all__ = ['get_mesh', 'shard_batch', 'pad_shard_batch', 'replicate',
            'data_parallel_shardings',
-           'local_batch_to_global', 'tp_rules_default', 'shard_params_tp']
+           'local_batch_to_global', 'tp_rules_default', 'shard_params_tp',
+           'framify_time_sharded', 'shard_time']
