@@ -54,17 +54,24 @@ __all__ = [
 
 
 def validate(model, variables, dataset, evaluator, estimator=None,
-             online=False, bucket=0):
+             online=False, bucket=0, batch_size=1):
     """Validation/evaluation loop over a dataset partition.
 
     Functional analog of the reference loop (``evaluate.py:52-101``): for
     each track, run offline (or mock-real-time) inference and score the
     predictions. With ``bucket`` > 0 whole tracks are padded to frame-count
     buckets so one compiled executable serves every track length (exact
-    results via masked recurrence). Returns the averaged results.
+    results via masked recurrence). With ``batch_size`` > 1 (offline +
+    bucketed only), tracks of the same bucketed length share one batched
+    forward — whole-dataset evaluation in a handful of dispatches.
+    Returns the averaged results.
     """
 
-    from .inference import run_offline, run_online
+    from .inference import run_offline, run_offline_batched, run_online
+
+    if batch_size > 1 and bucket and not online:
+        return _validate_batched(model, variables, dataset, evaluator,
+                                 estimator, bucket, batch_size)
 
     for track_id in dataset.tracks:
         track_data = dataset.get_track_data(track_id)
@@ -76,6 +83,34 @@ def validate(model, variables, dataset, evaluator, estimator=None,
                                       bucket=bucket)
 
         evaluator.process_track(predictions, track_data, track_id)
+
+    return evaluator.average_results()
+
+
+def _validate_batched(model, variables, dataset, evaluator, estimator,
+                      bucket, batch_size):
+    """Bucketed batched evaluation: group tracks by padded length."""
+
+    from collections import defaultdict
+
+    from .inference import run_offline_batched
+
+    groups = defaultdict(list)
+    for track_id in dataset.tracks:
+        track_data = dataset.get_track_data(track_id)
+        num_frames = np.asarray(track_data[tools.KEY_FEATS]).shape[-1]
+        padded = -(-num_frames // bucket) * bucket
+        groups[padded].append(track_data)
+
+    for padded in sorted(groups):
+        tracks = groups[padded]
+        for start in range(0, len(tracks), batch_size):
+            chunk = tracks[start: start + batch_size]
+            predictions = run_offline_batched(chunk, model, variables,
+                                              estimator, bucket=bucket)
+            for track_data, preds in zip(chunk, predictions):
+                track_id = tools.unpack_dict(track_data, tools.KEY_TRACK)
+                evaluator.process_track(preds, track_data, track_id)
 
     return evaluator.average_results()
 

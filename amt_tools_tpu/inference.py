@@ -17,6 +17,7 @@ from .models.common import run_on_batch
 
 __all__ = [
     'run_offline',
+    'run_offline_batched',
     'run_single_frame',
     'run_online',
     'run_online_stateful',
@@ -86,6 +87,86 @@ def run_offline(track_data, model, variables, estimator=None, bucket=0):
         predictions.update(estimator.process_track(predictions, track_id))
 
     return predictions
+
+
+def run_offline_batched(track_datas, model, variables, estimator=None,
+                        bucket=128):
+    """Whole-track inference on SEVERAL tracks per dispatch.
+
+    Batched counterpart of :func:`run_offline` (BASELINE "batched
+    whole-dataset eval"): every track is padded to the group's bucketed
+    frame count, frame-aligned entries are stacked into one batch, and a
+    single forward serves all of them — per-track predictions come back
+    exact via the masked recurrence (``KEY_VALID_FRAMES``), trimmed to each
+    track's true length. Entries that are not frame-aligned (audio, ragged
+    notes/pitch lists) are dropped from the model batch.
+
+    Returns one predictions dict per input track. Monitoring loss terms
+    are batch-level (identical for every track in the group; their mean
+    over equally-sized groups equals the overall mean).
+    """
+
+    if not track_datas:
+        return []
+
+    track_ids = [tools.unpack_dict(t, tools.KEY_TRACK) for t in track_datas]
+
+    prepared = []
+    frame_counts = []
+    for track_data in track_datas:
+        track_data = tools.dict_to_dtype(track_data, dtype=tools.FLOAT32)
+        arrays = {k: v for k, v in track_data.items()
+                  if tools.utils._is_array(v)}
+        frame_counts.append(np.asarray(arrays[tools.KEY_FEATS]).shape[-1])
+        prepared.append(arrays)
+
+    padded = -(-max(frame_counts) // bucket) * bucket
+
+    # Keys every track provides with a frame-aligned last axis
+    keys = set(prepared[0])
+    for arrays in prepared[1:]:
+        keys &= set(arrays)
+    keys = [k for k in sorted(keys)
+            if all(np.asarray(a[k]).ndim >= 1 and
+                   np.asarray(a[k]).shape[-1] == n
+                   for a, n in zip(prepared, frame_counts))]
+
+    batch = {}
+    for key in keys:
+        fill = -1 if key == tools.KEY_TABLATURE else 0
+        stacked = []
+        for arrays, num_frames in zip(prepared, frame_counts):
+            value = np.asarray(arrays[key])
+            pad = [(0, 0)] * (value.ndim - 1) + [(0, padded - num_frames)]
+            stacked.append(np.pad(value, pad, constant_values=fill))
+        batch[key] = np.stack(stacked)
+
+    batch[tools.KEY_VALID_FRAMES] = np.asarray(frame_counts)
+
+    output, _ = run_on_batch(model, variables, tools.dict_to_jax(batch),
+                             train=False)
+    output = tools.dict_to_array(output)
+
+    all_predictions = []
+    for index, (track_id, num_frames) in enumerate(zip(track_ids, frame_counts)):
+        predictions = {}
+        for key, value in output.items():
+            if tools.utils._is_array(value) and getattr(value, 'ndim', 0) >= 1 \
+                    and value.shape[0] == len(track_ids):
+                entry = value[index]
+                if getattr(entry, 'ndim', 0) >= 1 and entry.shape[-1] == padded:
+                    entry = entry[..., :num_frames]
+                predictions[key] = entry
+            else:
+                predictions[key] = value
+        predictions.pop(tools.KEY_VALID_FRAMES, None)
+
+        if estimator is not None:
+            predictions.update(estimator.process_track(predictions, track_id))
+
+        all_predictions.append(predictions)
+
+    return all_predictions
 
 
 def run_single_frame(track_data, model, variables, estimator=None):

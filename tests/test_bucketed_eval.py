@@ -112,3 +112,56 @@ def test_bucketed_run_offline_matches_exact(key):
     np.testing.assert_allclose(np.asarray(bucketed[tools.KEY_ONSETS]),
                                np.asarray(exact[tools.KEY_ONSETS]),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_batched_validate_matches_per_track():
+    """validate(batch_size=4) scores identically to the per-track loop."""
+
+    import jax
+    import optax
+    from amt_tools_tpu.datasets import SyntheticPiano
+    from amt_tools_tpu.features import MelSpec
+    from amt_tools_tpu.models import OnsetsFrames
+    from amt_tools_tpu.models.common import run_on_batch
+    from amt_tools_tpu.transcribe import ComboEstimator, NoteTranscriber
+    from amt_tools_tpu.evaluate import (ComboEvaluator, MultipitchEvaluator,
+                                        NoteEvaluator, validate)
+
+    mel = MelSpec(sample_rate=16000, hop_length=512, n_mels=48)
+    dataset = SyntheticPiano(num_tracks=5, track_duration=2.0, data_proc=mel,
+                             num_frames=None, save_data=False, store_data=True)
+
+    profile = dataset.profile
+    model = OnsetsFrames(dim_in=48, profile=profile, model_complexity=2)
+
+    track = dataset.get_track_data(dataset.tracks[0])
+    batch = {tools.KEY_FEATS: track[tools.KEY_FEATS][None].astype(np.float32)}
+    pre = model.pre_proc(dict(batch))
+    variables = model.init({'params': jax.random.PRNGKey(0),
+                            'dropout': jax.random.PRNGKey(1)},
+                           pre[tools.KEY_FEATS], train=False)
+
+    def build_eval():
+        return ComboEvaluator([MultipitchEvaluator(),
+                               NoteEvaluator(results_key=tools.KEY_NOTE_ON)])
+
+    est = ComboEstimator([NoteTranscriber(profile=profile)])
+
+    seq = validate(model, variables, dataset, build_eval(), est, bucket=32)
+    bat = validate(model, variables, dataset, build_eval(), est, bucket=32,
+                   batch_size=4)
+
+    def flat(d, prefix=''):
+        out = {}
+        for k, v in d.items():
+            if isinstance(v, dict):
+                out.update(flat(v, prefix + k + '/'))
+            else:
+                out[prefix + k] = v
+        return out
+
+    seq_f, bat_f = flat(seq), flat(bat)
+    assert set(seq_f) == set(bat_f)
+    for key in seq_f:
+        np.testing.assert_allclose(bat_f[key], seq_f[key], atol=1e-5,
+                                   err_msg=key)
