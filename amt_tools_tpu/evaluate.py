@@ -580,30 +580,43 @@ class TablatureEvaluator(Evaluator):
         return tools.KEY_TABLATURE
 
     def evaluate(self, estimated, reference):
-        estimated = tools.to_numpy(estimated)
-        reference = tools.to_numpy(reference)
+        estimated = tools.to_numpy(estimated).astype(int)
+        reference = tools.to_numpy(reference).astype(int)
 
-        tablature_est = tools.tablature_to_logistic(estimated, self.profile, silence=False)
-        tablature_ref = tools.tablature_to_logistic(reference, self.profile, silence=False)
+        # String/fret agreement straight off the (S, T) class ids — a
+        # (string, frame) cell counts when both are active and the fret
+        # matches. (The reference expands to flattened one-hot logistic
+        # activations first, ``evaluate.py:1244-1262``; intersecting
+        # one-hots is the same count.)
+        est_active = estimated != -1
+        ref_active = reference != -1
 
-        flat_est = tablature_est.flatten()
-        flat_ref = tablature_ref.flatten()
-
-        num_predicted = np.sum(flat_est, axis=-1)
-        num_ground_truth = np.sum(flat_ref, axis=-1)
-        num_correct_tablature = np.sum(flat_est * flat_ref, axis=-1)
+        num_predicted = np.sum(est_active)
+        num_ground_truth = np.sum(ref_active)
+        num_correct_tablature = np.sum((estimated == reference) & ref_active)
 
         precision = num_correct_tablature / (num_predicted + EPSILON)
         recall = num_correct_tablature / (num_ground_truth + EPSILON)
         f1 = f_measure(precision, recall)
 
-        multi_pitch_est = tools.stacked_multi_pitch_to_multi_pitch(
-            tools.tablature_to_stacked_multi_pitch(estimated, self.profile))
-        multi_pitch_ref = tools.stacked_multi_pitch_to_multi_pitch(
-            tools.tablature_to_stacked_multi_pitch(reference, self.profile))
+        # Pitch agreement ignores the string: per frame, the multisets of
+        # sounded pitches intersect. Count via per-frame pitch histograms
+        # (bincount over pitch x frame) — same count as intersecting
+        # collapsed binary pitch maps for the 0/1 occupancy these class-id
+        # tablatures produce.
+        tuning = np.asarray(self.profile.get_midi_tuning())[:, None]
+        num_pitches = self.profile.get_range_len()
+        num_frames = estimated.shape[-1]
+        frame_idx = np.broadcast_to(np.arange(num_frames), estimated.shape)
 
-        num_correct_multi_pitch = np.sum(multi_pitch_est.flatten() *
-                                         multi_pitch_ref.flatten(), axis=-1)
+        def pitch_map(tablature, active):
+            rows = (tablature + tuning - self.profile.low)[active]
+            flat = rows * num_frames + frame_idx[active]
+            counts = np.bincount(flat, minlength=num_pitches * num_frames)
+            return counts.reshape(num_pitches, num_frames) > 0
+
+        num_correct_multi_pitch = np.sum(pitch_map(estimated, est_active) &
+                                         pitch_map(reference, ref_active))
 
         tdr = num_correct_tablature / (num_correct_multi_pitch + EPSILON)
 

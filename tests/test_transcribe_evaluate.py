@@ -357,3 +357,42 @@ def test_device_note_transcriber_matches_host():
         got = device.process_track(dict(track), 'x')[tools.KEY_NOTES]
 
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_tablature_evaluator_matches_onehot_formulation():
+    """Class-id metric == the reference's one-hot expansion, on random tabs."""
+
+    from amt_tools_tpu.evaluate import TablatureEvaluator, f_measure, EPSILON
+    from amt_tools_tpu.tools.instrument import GuitarProfile
+    from amt_tools_tpu import tools
+
+    profile = GuitarProfile(num_frets=19)
+    evaluator = TablatureEvaluator(profile=profile)
+    rng = np.random.RandomState(7)
+
+    for _ in range(5):
+        est = rng.randint(-1, profile.num_pitches, (6, 40))
+        ref = rng.randint(-1, profile.num_pitches, (6, 40))
+
+        got = evaluator.evaluate(est, ref)
+
+        # Reference formulation: flattened one-hot logistic intersection +
+        # collapsed binary pitch-map intersection
+        lo_est = tools.tablature_to_logistic(est, profile, silence=False)
+        lo_ref = tools.tablature_to_logistic(ref, profile, silence=False)
+        n_pred = np.sum(lo_est)
+        n_gt = np.sum(lo_ref)
+        n_tab = np.sum(lo_est * lo_ref)
+
+        mp_est = tools.stacked_multi_pitch_to_multi_pitch(
+            tools.tablature_to_stacked_multi_pitch(est, profile))
+        mp_ref = tools.stacked_multi_pitch_to_multi_pitch(
+            tools.tablature_to_stacked_multi_pitch(ref, profile))
+        n_mp = np.sum(mp_est * mp_ref)
+
+        np.testing.assert_allclose(got[tools.KEY_PRECISION],
+                                   n_tab / (n_pred + EPSILON))
+        np.testing.assert_allclose(got[tools.KEY_RECALL],
+                                   n_tab / (n_gt + EPSILON))
+        np.testing.assert_allclose(got[tools.KEY_TDR],
+                                   n_tab / (n_mp + EPSILON))
