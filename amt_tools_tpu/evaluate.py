@@ -67,11 +67,15 @@ def validate(model, variables, dataset, evaluator, estimator=None,
     Returns the averaged results.
     """
 
-    from .inference import run_offline, run_offline_batched, run_online
+    from .inference import run_offline, run_online
 
-    if batch_size > 1 and bucket and not online:
-        return _validate_batched(model, variables, dataset, evaluator,
-                                 estimator, bucket, batch_size)
+    if batch_size > 1:
+        if bucket and not online:
+            return _validate_batched(model, variables, dataset, evaluator,
+                                     estimator, bucket, batch_size)
+        warnings.warn('batch_size > 1 requires bucketed offline evaluation '
+                      '(bucket > 0, online=False); falling back to the '
+                      'per-track loop.', category=RuntimeWarning)
 
     for track_id in dataset.tracks:
         track_data = dataset.get_track_data(track_id)
@@ -89,7 +93,12 @@ def validate(model, variables, dataset, evaluator, estimator=None,
 
 def _validate_batched(model, variables, dataset, evaluator, estimator,
                       bucket, batch_size):
-    """Bucketed batched evaluation: group tracks by padded length."""
+    """Bucketed batched evaluation: group tracks by padded length.
+
+    Only track IDS are grouped up front; each chunk's data is (re)loaded
+    right before its forward, so host memory holds at most ``batch_size``
+    tracks at a time (repeat loads hit the dataset's RAM/npz caches).
+    """
 
     from collections import defaultdict
 
@@ -100,12 +109,13 @@ def _validate_batched(model, variables, dataset, evaluator, estimator,
         track_data = dataset.get_track_data(track_id)
         num_frames = np.asarray(track_data[tools.KEY_FEATS]).shape[-1]
         padded = -(-num_frames // bucket) * bucket
-        groups[padded].append(track_data)
+        groups[padded].append(track_id)
 
     for padded in sorted(groups):
-        tracks = groups[padded]
-        for start in range(0, len(tracks), batch_size):
-            chunk = tracks[start: start + batch_size]
+        track_ids = groups[padded]
+        for start in range(0, len(track_ids), batch_size):
+            chunk = [dataset.get_track_data(track_id)
+                     for track_id in track_ids[start: start + batch_size]]
             predictions = run_offline_batched(chunk, model, variables,
                                               estimator, bucket=bucket)
             for track_data, preds in zip(chunk, predictions):

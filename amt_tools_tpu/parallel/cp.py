@@ -62,6 +62,11 @@ def framify_time_sharded(feats, win_length, mesh, axis='data'):
     bwd = [(i + 1, i) for i in range(size - 1)]   # my left edge -> prev's right halo
 
     def local_fn(local):
+        if halo == 0:
+            # Single-frame windows need no neighbor context (and [-0:]
+            # would slice the whole block)
+            return frame_ops.framify(local, win_length, pad=True)
+
         # ppermute leaves devices with no source at ZERO — exactly the
         # zero padding the unsharded framify applies at track edges
         left = jax.lax.ppermute(local[..., -halo:], axis, fwd)

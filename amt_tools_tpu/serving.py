@@ -84,9 +84,15 @@ class TranscriptionPipeline:
         self._times_cache = {}
 
     def _times_for(self, num_samples):
-        """Frame times depend only on the clip length; cache per length."""
+        """Frame times depend only on the clip length; cache per length.
+
+        Bounded (LRU-ish): long-running servers fed arbitrary-length clips
+        must not accumulate one entry per length ever seen.
+        """
 
         if num_samples not in self._times_cache:
+            if len(self._times_cache) >= 16:
+                self._times_cache.pop(next(iter(self._times_cache)))
             self._times_cache[num_samples] = self.data_proc.get_times(
                 np.zeros(num_samples, dtype=np.float32))
 
@@ -111,11 +117,14 @@ class TranscriptionPipeline:
         if audio.ndim == 1:
             audio = audio[None]
 
-        if self.mesh is not None and not (
-                isinstance(audio, jax.Array) and
-                len(audio.sharding.device_set) > 1):
-            from .parallel import shard_batch
-            audio = shard_batch({'audio': audio}, self.mesh)['audio']
+        if self.mesh is not None:
+            # device_put is a no-op when the input already carries this
+            # sharding, reshards otherwise (replicated inputs would silently
+            # make every chip compute the full batch); raises when the batch
+            # does not divide the data axis
+            from jax.sharding import NamedSharding, PartitionSpec
+            audio = jax.device_put(
+                audio, NamedSharding(self.mesh, PartitionSpec('data')))
 
         times = self._times_for(audio.shape[-1])
 

@@ -79,3 +79,13 @@ def test_tabcnn_whole_track_time_sharded(mesh):
                                  train=False)[tools.KEY_TABLATURE])
 
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=2e-5)
+
+
+def test_framify_win_length_one(mesh):
+    """halo == 0: single-frame windows, no neighbor exchange."""
+
+    feats = jnp.asarray(np.random.RandomState(2).rand(1, 1, 4, 64)
+                        .astype(np.float32))
+    want = np.asarray(frame_ops.framify(feats, 1, pad=True))
+    got = np.asarray(framify_time_sharded(shard_time(feats, mesh), 1, mesh))
+    np.testing.assert_array_equal(got, want)
