@@ -74,7 +74,7 @@ __all__ = [
     'unpack_stacked_representation',
     # dict / array plumbing
     'to_numpy', 'tensor_to_array', 'array_to_tensor',
-    'dict_to_dtype', 'dict_to_device', 'dict_to_array', 'dict_to_jax',
+    'dict_to_dtype', 'dict_to_device', 'dict_to_array', 'dict_to_jax', 'dict_to_tensor',
     'dict_squeeze', 'dict_unsqueeze', 'dict_append', 'dict_detach', 'unpack_dict',
     'query_dict', 'get_tag', 'slice_track', 'save_dict_npz', 'load_dict_npz',
     'seed_everything',
@@ -1362,6 +1362,9 @@ def dict_to_jax(track, device=None):
 dict_to_tensor = dict_to_jax
 
 
+
+# Reference-name alias ('tensor' = device array here); see dict_to_jax
+dict_to_tensor = dict_to_jax
 def tensor_to_array(data):
     """JAX array -> host ndarray (parity with the reference's torch helper)."""
 
