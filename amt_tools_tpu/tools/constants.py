@@ -61,6 +61,7 @@ KEY_OFFSETS = 'offsets'
 KEY_TIMES = 'times'
 KEY_NOTES = 'notes'
 KEY_VELOCITY = 'velocity'
+KEY_NOTE_VELOCITY = 'note_velocity'
 KEY_OUTPUT = 'model_output'
 KEY_ACCURACY = 'accuracy'
 KEY_VALID_FRAMES = 'valid_frames'  # static-shape eval: number of real frames

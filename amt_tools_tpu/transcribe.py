@@ -27,6 +27,7 @@ __all__ = [
     'IterativeStackedNoteTranscriber',
     'NoteTranscriber',
     'DeviceNoteTranscriber',
+    'NoteVelocityEstimator',
     'IterativeNoteTranscriber',
     'StackedMultiPitchRefiner',
     'MultiPitchRefiner',
@@ -432,6 +433,47 @@ class DeviceNoteTranscriber(Estimator):
         path = os.path.join(self.save_dir, f'{tag}.{tools.TXT_EXT}')
         pitches, intervals = tools.batched_notes_to_notes(batched_notes)
         tools.write_notes(pitches, intervals, path)
+
+
+class NoteVelocityEstimator(Estimator):
+    """Attach per-note velocities to previously decoded notes.
+
+    Chain after a note transcriber in a ``ComboEstimator``: reads the
+    decoded (N, 3) batched notes and the model's (O, T) velocity map
+    (``OnsetsFrames2(estimate_velocity=True)``) and emits an (N,) velocity
+    per note — the value of the map at each note's onset
+    (``tools.extract_note_velocities``). No reference counterpart (velocity
+    is an unimplemented TODO there, ``models/onsetsframes.py:13``).
+    """
+
+    def __init__(self, profile, notes_key=None, velocity_key=None,
+                 estimates_key=None, save_dir=None):
+        super().__init__(profile=profile, estimates_key=estimates_key,
+                         save_dir=save_dir)
+
+        self.notes_key = tools.KEY_NOTES if notes_key is None else notes_key
+        self.velocity_key = tools.KEY_VELOCITY if velocity_key is None \
+            else velocity_key
+
+    @staticmethod
+    def get_default_key():
+        return tools.KEY_NOTE_VELOCITY
+
+    def estimate(self, raw_output):
+        batched_notes = tools.unpack_dict(raw_output, self.notes_key)
+        velocity = tools.unpack_dict(raw_output, self.velocity_key)
+        times = tools.unpack_dict(raw_output, tools.KEY_TIMES)
+
+        return tools.extract_note_velocities(batched_notes, velocity, times,
+                                             self.profile)
+
+    def write(self, velocities, track):
+        tag = tools.get_tag(track)
+        path = os.path.join(self.save_dir, f'{tag}.{tools.TXT_EXT}')
+
+        with open(path, 'w') as file:
+            for value in np.atleast_1d(velocities):
+                file.write(f'{value:.6f}\n')
 
 
 class IterativeNoteTranscriber(IterativeStackedNoteTranscriber):

@@ -176,3 +176,33 @@ def test_synthetic_piano_velocity_ground_truth():
                                                     endpoint=False),
                                         dataset.profile)
     assert np.all(got >= 0.0) and np.all(got <= 0.9 + 1e-9)
+
+
+def test_note_velocity_estimator_chain(profile):
+    """NoteTranscriber -> NoteVelocityEstimator recovers exact velocities."""
+
+    from amt_tools_tpu.transcribe import (ComboEstimator, NoteTranscriber,
+                                          NoteVelocityEstimator)
+
+    times = np.arange(60) * 0.032
+    pitches = np.array([60.0, 72.0])
+    intervals = np.array([[0.10, 0.50], [0.90, 1.40]])
+    velocities = np.array([0.65, 0.30])
+
+    mp = tools.notes_to_multi_pitch(pitches, intervals, times, profile)
+    vmap_ = tools.notes_to_velocity(pitches, intervals, velocities, times,
+                                    profile)
+
+    combo = ComboEstimator([NoteTranscriber(profile=profile),
+                            NoteVelocityEstimator(profile=profile)])
+
+    predictions = combo.process_track({tools.KEY_MULTIPITCH: mp,
+                                       tools.KEY_VELOCITY: vmap_,
+                                       tools.KEY_TIMES: times}, 'clip')
+
+    notes = np.asarray(predictions[tools.KEY_NOTES]).reshape(-1, 3)
+    got = np.asarray(predictions[tools.KEY_NOTE_VELOCITY])
+
+    order = np.argsort(notes[:, 2])
+    np.testing.assert_array_equal(notes[order][:, 2], [60.0, 72.0])
+    np.testing.assert_allclose(got[order], velocities)
