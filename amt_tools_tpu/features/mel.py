@@ -16,10 +16,10 @@ class MelSpec(STFT):
 
     def __init__(self, sample_rate=16000, hop_length=512, decibels=True,
                  n_mels=229, n_fft=2048, win_length=None, center=True,
-                 htk=False):
+                 htk=False, use_pallas='auto'):
         super().__init__(sample_rate=sample_rate, hop_length=hop_length,
                          decibels=decibels, win_length=win_length,
-                         center=center, n_fft=n_fft)
+                         center=center, n_fft=n_fft, use_pallas=use_pallas)
 
         self.n_mels = n_mels
         self.htk = htk
@@ -29,14 +29,12 @@ class MelSpec(STFT):
                                                n_mels=n_mels, htk=htk)
 
     def process_jax(self, audio):
-        spec = spectral.stft_mag(jnp.asarray(audio), n_fft=self.n_fft,
-                                 hop_length=self.hop_length,
-                                 win_length=self.win_length,
-                                 center=self.center, window=self._window)
+        # Power spectrogram — fused Pallas framing+DFT on TPU, XLA FFT
+        # otherwise (STFT._stft_power_jax)
+        power = self._stft_power_jax(audio)
 
         # Power mel: filterbank applied to the power spectrogram
-        mel = jnp.einsum('mf,...ft->...mt', jnp.asarray(self._mel_fb),
-                         jnp.square(spec))
+        mel = jnp.einsum('mf,...ft->...mt', jnp.asarray(self._mel_fb), power)
 
         return self.post_proc(mel)
 
