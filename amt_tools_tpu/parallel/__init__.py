@@ -10,8 +10,10 @@ from .mesh import (get_mesh, shard_batch, pad_shard_batch, replicate,
                    data_parallel_shardings, local_batch_to_global)
 from .tp import tp_rules_default, shard_params_tp
 from .cp import framify_time_sharded, shard_time
+from .pp import pipeline_apply, shard_params_pp, stack_stage_params
 
 __all__ = ['get_mesh', 'shard_batch', 'pad_shard_batch', 'replicate',
            'data_parallel_shardings',
            'local_batch_to_global', 'tp_rules_default', 'shard_params_tp',
-           'framify_time_sharded', 'shard_time']
+           'framify_time_sharded', 'shard_time',
+           'pipeline_apply', 'shard_params_pp', 'stack_stage_params']
