@@ -48,7 +48,7 @@ def pallas_cqt_supported(max_length, hop_length, tile_s=2048):
 
 
 def _cqt_kernel(audio_ref, kernel_ref, out_ref, patch_ref, acc_ref, *,
-                block_t, tile_s, hop_length, n_bins):
+                block_t, tile_s, hop_length, n_bins, exact):
     """One (frame-block i, support-tile j) step of the fused contraction."""
 
     j = pl.program_id(1)
@@ -66,8 +66,15 @@ def _cqt_kernel(audio_ref, kernel_ref, out_ref, patch_ref, acc_ref, *,
 
     jax.lax.fori_loop(0, block_t, build_row, 0)
 
+    # A default (single bf16 pass) dot's rounding error scales with the
+    # FRAME energy, not the bin's response — off-resonance (quiet) bins of
+    # tonal audio come out up to ~28 dB wrong. This kernel is HBM-bandwidth
+    # bound, so the exact multi-pass contraction costs only ~20% more.
+    precision = (jax.lax.Precision.HIGHEST if exact
+                 else jax.lax.Precision.DEFAULT)
     acc_ref[...] += jnp.dot(patch_ref[...], kernel_ref[...],
-                            preferred_element_type=jnp.float32)
+                            preferred_element_type=jnp.float32,
+                            precision=precision)
 
     @pl.when(j == num_tiles - 1)
     def _():
@@ -77,14 +84,17 @@ def _cqt_kernel(audio_ref, kernel_ref, out_ref, patch_ref, acc_ref, *,
 
 
 @functools.partial(jax.jit, static_argnames=('max_length', 'hop_length',
-                                             'block_t', 'tile_s', 'interpret'))
+                                             'block_t', 'tile_s', 'exact',
+                                             'interpret'))
 def cqt_mag_pallas(audio, kernel, max_length, hop_length, block_t=64,
-                   tile_s=2048, interpret=False):
+                   tile_s=2048, exact=True, interpret=False):
     """Fused CQT magnitudes: (N,) audio -> (n_bins, T) without HBM framing.
 
     ``kernel`` is the (max_length, 2 * n_bins) real wavelet bank from
     ``ops.spectral.wavelet_bank``. ``tile_s`` must divide ``max_length`` and
-    be a multiple of ``hop_length``.
+    be a multiple of ``hop_length``. ``exact`` (default) runs the
+    contraction at full f32 precision; ``exact=False`` is a single bf16
+    pass, whose error corrupts quiet bins (see ``_cqt_kernel``).
     """
 
     if max_length % tile_s or tile_s % hop_length:
@@ -113,7 +123,7 @@ def cqt_mag_pallas(audio, kernel, max_length, hop_length, block_t=64,
 
     out = pl.pallas_call(
         functools.partial(_cqt_kernel, block_t=block_t, tile_s=tile_s,
-                          hop_length=hop_length, n_bins=n_bins),
+                          hop_length=hop_length, n_bins=n_bins, exact=exact),
         grid=grid,
         in_specs=[
             # Overlapping audio span for (block i, tile j), element-indexed.

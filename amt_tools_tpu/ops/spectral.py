@@ -346,7 +346,11 @@ def cqt_mag(audio, kernel, max_length, hop_length, frame_chunk=256):
     lead_shape = frames.shape[:-2]
 
     def apply_chunk(chunk):
-        resp = jnp.dot(chunk, kernel, preferred_element_type=jnp.float32)
+        # Full-precision contraction: at TPU's default (single bf16 pass)
+        # the rounding error scales with the frame energy and corrupts
+        # quiet (off-resonance) bins by tens of dB on tonal audio
+        resp = jnp.dot(chunk, kernel, preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
         re, im = resp[..., :n_bins], resp[..., n_bins:]
         return jnp.sqrt(re * re + im * im)
 

@@ -49,3 +49,41 @@ def test_tiling_constraints():
     # Support check is backend-aware: never claims support on CPU
     assert not pallas_cqt_supported(4096, 512) or \
         jax.default_backend() in ('tpu', 'axon')
+
+
+def test_cqt_quiet_bin_precision():
+    """dB-scale CQT features match a float64 reference even in quiet bins.
+
+    Regression guard for the contraction precision: a single-bf16-pass dot
+    (TPU default) has error proportional to the FRAME energy, which shows
+    up as tens of dB in off-resonance bins of tonal audio. Both device
+    paths pin full-precision contractions.
+    """
+
+    from amt_tools_tpu.features import CQT
+
+    sr, hop = 22050, 512
+    cqt = CQT(sample_rate=sr, hop_length=hop, n_bins=96, bins_per_octave=24,
+              use_pallas=False)
+
+    t = np.arange(sr) / sr
+    audio = sum(np.sin(2 * np.pi * f0 * h * t) * 0.1 / h
+                for f0 in (110.0, 196.0) for h in range(1, 5))
+    audio = audio.astype(np.float32)
+
+    kernel = np.asarray(cqt._kernel, dtype=np.float64)
+    frames = np.asarray(spectral.frame_signal(jnp.asarray(audio),
+                                              cqt._support, hop))
+    resp = frames.astype(np.float64) @ kernel
+    nb = kernel.shape[-1] // 2
+    mag64 = np.sqrt(resp[..., :nb] ** 2 + resp[..., nb:] ** 2).T
+    ref_db = np.asarray(cqt.post_proc(jnp.asarray(mag64.astype(np.float32))))
+
+    got_db = np.asarray(cqt.process_jax(jnp.asarray(audio)))
+    np.testing.assert_allclose(got_db, ref_db, atol=5e-3)
+
+    got_pallas = cqt_mag_pallas(jnp.asarray(audio), jnp.asarray(cqt._kernel),
+                                cqt._support, hop, block_t=8, tile_s=1024,
+                                interpret=True)
+    got_pallas_db = np.asarray(cqt.post_proc(got_pallas))
+    np.testing.assert_allclose(got_pallas_db, ref_db, atol=5e-3)
