@@ -18,7 +18,47 @@ import numpy as np
 from . import tools
 from .ops import decode
 
-__all__ = ['TranscriptionPipeline']
+__all__ = ['TranscriptionPipeline', 'calibrate_activity']
+
+
+def calibrate_activity(model, variables, data_proc, audio,
+                       rates=((tools.KEY_MULTIPITCH, 'adjoin_out', 0.03),
+                              (tools.KEY_ONSETS, 'onset_out', 0.001))):
+    """Shift output-head biases so activation rates match a trained model.
+
+    Demo/benchmark utility: with random weights the sparse-activity bias
+    prior keeps every output silent, so a serving pipeline would decode
+    empty maps. This runs one forward pass on a probe batch, measures each
+    head's logit quantile, and subtracts it from that head's Dense bias so
+    the requested fraction of cells clears the 0.5 sigmoid threshold —
+    decode cost then reflects trained-model-like activity.
+
+    ``rates``: (output key, head module name, target activation rate)
+    triples. Returns a new variables dict (inputs unmodified).
+    """
+
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def probe(variables, audio):
+        feats = data_proc.process_jax(audio)
+        batch = model.pre_proc({tools.KEY_FEATS: feats})
+        raw = model.apply(variables, batch[tools.KEY_FEATS], train=False)
+        return {head: jnp.quantile(raw[key], 1.0 - rate)
+                for key, head, rate in rates}
+
+    shifts = probe(variables, audio)
+
+    params = jax.tree_util.tree_map(lambda x: x, variables['params'])
+    for _, head, _ in rates:
+        dense = dict(params[head]['Dense_0'])
+        dense['bias'] = dense['bias'] - shifts[head]
+        params[head] = {'Dense_0': dense}
+
+    out = dict(variables)
+    out['params'] = params
+    return out
 
 
 class TranscriptionPipeline:

@@ -36,40 +36,6 @@ def _log(msg):
     print(f'[bench] {msg}', file=sys.stderr, flush=True)
 
 
-def _calibrate_activity(model, variables, mel, audio,
-                        pitch_rate=0.03, onset_rate=0.001):
-    """Shift output-layer biases so activation rates match a trained model.
-
-    Runs one forward pass on a probe batch, measures the logit quantiles of
-    the multi-pitch and onset heads, and subtracts them from the heads'
-    Dense biases so that ``pitch_rate`` / ``onset_rate`` of cells clear the
-    0.5 sigmoid threshold. Keeps the headline number honest about decode
-    cost without needing a trained checkpoint.
-    """
-    import jax
-    import jax.numpy as jnp
-
-    from amt_tools_tpu import tools
-
-    @jax.jit
-    def probe(variables, audio):
-        feats = mel.process_jax(audio)
-        batch = model.pre_proc({tools.KEY_FEATS: feats})
-        raw = model.apply(variables, batch[tools.KEY_FEATS], train=False)
-        return (jnp.quantile(raw[tools.KEY_MULTIPITCH], 1.0 - pitch_rate),
-                jnp.quantile(raw[tools.KEY_ONSETS], 1.0 - onset_rate))
-
-    pitch_q, onset_q = probe(variables, audio)
-
-    params = jax.tree_util.tree_map(lambda x: x, variables['params'])
-    for head, shift in (('adjoin_out', pitch_q), ('onset_out', onset_q)):
-        dense = dict(params[head]['Dense_0'])
-        dense['bias'] = dense['bias'] - shift
-        params[head] = {'Dense_0': dense}
-
-    out = dict(variables)
-    out['params'] = params
-    return out
 
 
 def build_pipeline(batch_size, clip_seconds=60.0, complexity=3):
@@ -114,10 +80,10 @@ def build_pipeline(batch_size, clip_seconds=60.0, complexity=3):
     # onsets ~2 impulses/s/clip). Decode cost is activity-dependent; with
     # raw random weights the sparse-activity bias prior keeps every output
     # silent and the note decode would be benchmarked on empty maps.
-    variables = _calibrate_activity(model, variables, mel,
-                                    jnp.asarray(np.stack(clips[:4])))
+    from amt_tools_tpu.serving import TranscriptionPipeline, calibrate_activity
 
-    from amt_tools_tpu.serving import TranscriptionPipeline
+    variables = calibrate_activity(model, variables, mel,
+                                   jnp.asarray(np.stack(clips[:4])))
 
     pipeline = TranscriptionPipeline(model, variables, mel,
                                      capacity=NOTE_CAPACITY)

@@ -119,3 +119,21 @@ def test_transcribe_file_script(tmp_path):
     module.main(wav_path, None, out_path)
 
     assert os.path.exists(out_path)
+
+
+def test_serve_batch_script_config_resolves():
+    """The serving example imports cleanly and exposes its config."""
+
+    module = _load_script(os.path.join(REPO, 'examples', 'inference',
+                                       'serve_batch.py'))
+
+    config = module.ex.resolve_config()
+    assert config['batch_size'] == 16
+    assert config['clip_seconds'] == 20
+    assert config['capacity'] == 1024
+    assert config['data_parallel'] is False
+
+    overridden = module.ex.resolve_config(['batch_size=4',
+                                           'data_parallel=true'])
+    assert overridden['batch_size'] == 4
+    assert overridden['data_parallel'] is True
