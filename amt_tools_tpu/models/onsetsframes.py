@@ -32,8 +32,11 @@ __all__ = [
     'OnsetsFrames2',
     'OnsetsFramesOnline',
     'AcousticModel',
+    'GroupedAcousticModel',
     'LanguageModel',
     'OnlineLanguageModel',
+    'fuse_acoustic_variables',
+    'unfuse_acoustic_variables',
 ]
 
 
@@ -116,12 +119,15 @@ class LanguageModel(nn.Module):
     def __call__(self, feats, train=False, lengths=None):
         hidden = self.dim_out // (2 if self.bidirectional else 1)
 
-        # TPU-optimized scan LSTM with hoisted input projections (ops/lstm.py)
+        # TPU-optimized scan LSTM with hoisted input projections
+        # (ops/lstm.py); inference additionally fuses the recurrence into
+        # a Pallas kernel — training needs the differentiable XLA scan
         if self.bidirectional:
-            return FastBiLSTM(features=hidden, dtype=self.dtype)(feats,
-                                                                 lengths=lengths)
+            return FastBiLSTM(features=hidden, dtype=self.dtype)(
+                feats, lengths=lengths, allow_pallas=not train)
 
-        return FastLSTM(features=hidden, dtype=self.dtype)(feats, lengths=lengths)
+        return FastLSTM(features=hidden, dtype=self.dtype)(
+            feats, lengths=lengths, allow_pallas=not train)
 
 
 class OnlineLanguageModel(nn.Module):
@@ -147,12 +153,188 @@ class OnlineLanguageModel(nn.Module):
         rnn = FastLSTM(features=self.dim_out)
 
         if carry is None:
-            # Whole-sequence (training) path
-            return rnn(feats), None
+            # Whole-sequence path: used in training, so keep the
+            # differentiable XLA scan
+            return rnn(feats, allow_pallas=not train), None
 
         new_carry, out = rnn(feats, initial_carry=carry, return_carry=True)
 
         return out, new_carry
+
+
+class GroupedAcousticModel(nn.Module):
+    """Every acoustic head of an Onsets & Frames model in ONE conv stack.
+
+    The per-head :class:`AcousticModel` stacks all consume the same input;
+    grouped convolutions are block-diagonal over channels and BatchNorm
+    statistics are per-channel, so the fused stack computes exactly the
+    per-head stacks side by side — a layout change, not an approximation.
+    conv1 fuses densely (its input is shared); the final per-head
+    projections run as one batched einsum.
+
+    Measured caveat (v5e, XLA ~0.8.x): XLA's TPU grouped-conv lowering
+    lays the operand out as (..., groups, 48) and pads the per-group
+    channel dim to 128 lanes — 2.7x the activation memory — and runs all
+    heads' activations concurrently instead of sequentially, so at serving
+    batch sizes the fused stack OOMs where the per-head stacks fit. Until
+    that lowering improves, this layout only pays off for small models /
+    small batches; the default is therefore ``fused_heads=False``.
+
+    Output: (B, T, H, dim_out) — one embedding slice per head, in the
+    caller's head order. :func:`fuse_acoustic_variables` converts a
+    per-head checkpoint into this layout.
+    """
+
+    dim_in: int
+    dim_out: int
+    heads: int = 3
+    in_channels: int = 1
+    model_complexity: int = 2
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, feats, train=False, lengths=None):
+        num_heads = self.heads
+        nf1 = 16 * self.model_complexity
+        nf3 = 32 * self.model_complexity
+
+        if lengths is None:
+            frame_mask = None
+        else:
+            # Same padded-frame zeroing as AcousticModel (bucketed eval)
+            from ..ops.lstm import lengths_to_mask
+            frame_mask = lengths_to_mask(lengths, feats.shape[1])
+            frame_mask = frame_mask[:, :, None, None].astype(feats.dtype)
+
+        def masked(x):
+            return x if frame_mask is None else x * frame_mask
+
+        x = masked(feats)
+
+        # Block 1: the input is shared across heads, so the per-head conv1
+        # kernels concatenate into one dense convolution
+        x = nn.Conv(num_heads * nf1, (3, 3), padding='SAME', dtype=self.dtype)(x)
+        x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(x)
+        x = masked(nn.relu(x))
+
+        # Blocks 2-3: per-head inputs -> grouped (block-diagonal) convs
+        x = nn.Conv(num_heads * nf1, (3, 3), padding='SAME',
+                    feature_group_count=num_heads, dtype=self.dtype)(x)
+        x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (1, 2), strides=(1, 2))
+        x = masked(nn.Dropout(0.25, deterministic=not train)(x))
+
+        x = nn.Conv(num_heads * nf3, (3, 3), padding='SAME',
+                    feature_group_count=num_heads, dtype=self.dtype)(x)
+        x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (1, 2), strides=(1, 2))
+        x = masked(nn.Dropout(0.25, deterministic=not train)(x))
+
+        # (B, T, F/4, H * nf3) -> (B, T, H, F/4 * nf3): group-blocked
+        # channels split per head, flattened frequency-major/channel-minor
+        # to match AcousticModel's reshape
+        batch, frames, freqs = x.shape[0], x.shape[1], x.shape[2]
+        x = x.reshape(batch, frames, freqs, num_heads, nf3)
+        x = jnp.transpose(x, (0, 1, 3, 2, 4))
+        x = x.reshape(batch, frames, num_heads, freqs * nf3)
+
+        # Per-head dense projections as one batched contraction
+        kernel = self.param('head_kernels',
+                            nn.initializers.lecun_normal(batch_axis=(0,)),
+                            (num_heads, freqs * nf3, self.dim_out))
+        bias = self.param('head_bias', nn.initializers.zeros_init(),
+                          (num_heads, self.dim_out))
+
+        compute_dtype = self.dtype or x.dtype
+        x = jnp.einsum('bthk,hkd->bthd', x.astype(compute_dtype),
+                       kernel.astype(compute_dtype))
+        x = x + bias.astype(compute_dtype)
+        x = nn.Dropout(0.50, deterministic=not train)(x)
+
+        return x
+
+
+def fuse_acoustic_variables(variables, head_names, grouped_name='grouped_am'):
+    """Convert per-head AcousticModel variables to the fused grouped layout.
+
+    ``head_names`` is the model's head order (``model.head_names``); the
+    per-head subtrees ``<name>_am`` are concatenated channel-wise into one
+    ``grouped_name`` subtree (conv kernels/biases and BatchNorm vectors on
+    the channel axis; dense kernels stacked on a new leading head axis).
+    Works on a full variables dict ({'params': ..., 'batch_stats': ...});
+    returns a new dict, inputs unmodified. Inverse: :func:`unfuse_acoustic_variables`.
+    """
+
+    out = {}
+    for collection, tree in variables.items():
+        tree = dict(tree)
+        heads = [tree.pop(f'{name}_am') for name in head_names
+                 if f'{name}_am' in tree]
+
+        if not heads:
+            out[collection] = tree
+            continue
+
+        fused = {}
+        for layer in heads[0]:
+            if layer.startswith('Dense'):
+                fused['head_kernels'] = jnp.stack(
+                    [h[layer]['kernel'] for h in heads])
+                fused['head_bias'] = jnp.stack(
+                    [h[layer]['bias'] for h in heads])
+            else:
+                fused[layer] = {
+                    key: jnp.concatenate([h[layer][key] for h in heads],
+                                         axis=-1)
+                    for key in heads[0][layer]}
+
+        tree[grouped_name] = fused
+        out[collection] = tree
+
+    return out
+
+
+def unfuse_acoustic_variables(variables, head_names, grouped_name='grouped_am'):
+    """Split fused GroupedAcousticModel variables back into per-head trees."""
+
+    num_heads = len(head_names)
+
+    out = {}
+    for collection, tree in variables.items():
+        tree = dict(tree)
+        fused = tree.pop(grouped_name, None)
+
+        if fused is None:
+            out[collection] = tree
+            continue
+
+        for i, name in enumerate(head_names):
+            head = {}
+            for layer, leaves in fused.items():
+                if layer == 'head_kernels':
+                    head.setdefault('Dense_0', {})['kernel'] = leaves[i]
+                elif layer == 'head_bias':
+                    head.setdefault('Dense_0', {})['bias'] = leaves[i]
+                else:
+                    head[layer] = {
+                        key: _head_slice(leaf, i, num_heads)
+                        for key, leaf in leaves.items()}
+
+            tree[f'{name}_am'] = head
+
+        out[collection] = tree
+
+    return out
+
+
+def _head_slice(leaf, index, num_heads):
+    """Slice head ``index``'s channels out of a channel-concatenated leaf."""
+
+    width = leaf.shape[-1] // num_heads
+
+    return leaf[..., index * width:(index + 1) * width]
 
 
 def _acoustic_model_cls(remat):
@@ -162,6 +344,15 @@ def _acoustic_model_cls(remat):
         return nn.remat(AcousticModel, static_argnums=(2, 3))
 
     return AcousticModel
+
+
+def _grouped_model_cls(remat):
+    """GroupedAcousticModel, optionally with gradient rematerialization."""
+
+    if remat:
+        return nn.remat(GroupedAcousticModel, static_argnums=(2, 3))
+
+    return GroupedAcousticModel
 
 
 class _Heads:
@@ -186,6 +377,16 @@ class OnsetsFrames(TranscriptionModel):
 
     model_complexity: int = 2
     detach_heads: bool = False
+    # Run all acoustic heads as one grouped conv stack (identical math; see
+    # GroupedAcousticModel for when this wins and when it loses).
+    # fuse/unfuse_acoustic_variables convert checkpoints between layouts.
+    fused_heads: bool = False
+
+    @property
+    def head_names(self):
+        """Acoustic-head order (fixes embedding slices and param layout)."""
+
+        return ('pitch', 'onset')
 
     @property
     def dim_am(self):
@@ -215,22 +416,43 @@ class OnsetsFrames(TranscriptionModel):
 
         return batch
 
+    def _setup_acoustic(self):
+        """Acoustic stacks: one grouped module or per-head modules."""
+
+        if self.fused_heads:
+            Grouped = _grouped_model_cls(self.remat)
+            self.grouped_am = Grouped(self.dim_in, self.dim_am,
+                                      len(self.head_names), self.in_channels,
+                                      self.model_complexity, dtype=self.dtype)
+        else:
+            AcousticModel = _acoustic_model_cls(self.remat)
+            for name in self.head_names:
+                setattr(self, f'{name}_am',
+                        AcousticModel(self.dim_in, self.dim_am,
+                                      self.in_channels, self.model_complexity,
+                                      dtype=self.dtype))
+
+    def _embeddings(self, feats, train, lengths):
+        """Per-head acoustic embeddings keyed by head name."""
+
+        if self.fused_heads:
+            emb = self.grouped_am(feats, train, lengths)
+            return {name: emb[..., i, :]
+                    for i, name in enumerate(self.head_names)}
+
+        return {name: getattr(self, f'{name}_am')(feats, train, lengths)
+                for name in self.head_names}
+
     def setup(self):
         if self.model_complexity < 2:
             raise ValueError('OnsetsFrames requires model_complexity >= 2 '
                              '(the language-model width is 256 * (complexity - 1)).')
 
-        AcousticModel = _acoustic_model_cls(self.remat)
+        self._setup_acoustic()
 
-        self.onset_am = AcousticModel(self.dim_in, self.dim_am,
-                                      self.in_channels, self.model_complexity,
-                                      dtype=self.dtype)
         self.onset_lm = LanguageModel(self.dim_am, self.dim_lm, dtype=self.dtype)
         self.onset_out = LogisticBank(dim_in=self.dim_lm, dim_out=self.dim_out)
 
-        self.pitch_am = AcousticModel(self.dim_in, self.dim_am,
-                                      self.in_channels, self.model_complexity,
-                                      dtype=self.dtype)
         self.pitch_out = LogisticBank(dim_in=self.dim_am, dim_out=self.dim_out)
 
         self.adjoin_lm = LanguageModel(self.dim_aj, self.dim_lm, dtype=self.dtype)
@@ -239,12 +461,14 @@ class OnsetsFrames(TranscriptionModel):
     def __call__(self, feats, train=False, lengths=None):
         output = {}
 
+        emb = self._embeddings(feats, train, lengths)
+
         # Initial multi-pitch estimate
-        multi_pitch = self.pitch_out(self.pitch_am(feats, train, lengths))
+        multi_pitch = self.pitch_out(emb['pitch'])
 
         # Onset estimate (lengths mask makes bucketed padded eval exact)
-        onsets = self.onset_out(self.onset_lm(self.onset_am(feats, train, lengths),
-                                              train, lengths=lengths))
+        onsets = self.onset_out(self.onset_lm(emb['onset'], train,
+                                              lengths=lengths))
         output[tools.KEY_ONSETS] = onsets
 
         if self.detach_heads:
@@ -309,6 +533,13 @@ class OnsetsFrames2(OnsetsFrames):
     estimate_velocity: bool = False
 
     @property
+    def head_names(self):
+        if self.estimate_velocity:
+            return ('pitch', 'onset', 'offset', 'velocity')
+
+        return ('pitch', 'onset', 'offset')
+
+    @property
     def dim_aj(self):
         """Refinement consumes onsets + offsets + pitch."""
 
@@ -317,38 +548,30 @@ class OnsetsFrames2(OnsetsFrames):
     def setup(self):
         super().setup()
 
-        AcousticModel = _acoustic_model_cls(self.remat)
-
-        self.offset_am = AcousticModel(self.dim_in, self.dim_am,
-                                       self.in_channels, self.model_complexity,
-                                       dtype=self.dtype)
         self.offset_lm = LanguageModel(self.dim_am, self.dim_lm, dtype=self.dtype)
         self.offset_out = LogisticBank(dim_in=self.dim_lm, dim_out=self.dim_out)
 
         if self.estimate_velocity:
-            self.velocity_am = AcousticModel(self.dim_in, self.dim_am,
-                                             self.in_channels,
-                                             self.model_complexity,
-                                             dtype=self.dtype)
             self.velocity_out = RegressionBank(dim_in=self.dim_am,
                                                dim_out=self.dim_out)
 
     def __call__(self, feats, train=False, lengths=None):
         output = {}
 
-        multi_pitch = self.pitch_out(self.pitch_am(feats, train, lengths))
+        emb = self._embeddings(feats, train, lengths)
 
-        onsets = self.onset_out(self.onset_lm(self.onset_am(feats, train, lengths),
-                                              train, lengths=lengths))
+        multi_pitch = self.pitch_out(emb['pitch'])
+
+        onsets = self.onset_out(self.onset_lm(emb['onset'], train,
+                                              lengths=lengths))
         output[tools.KEY_ONSETS] = onsets
 
-        offsets = self.offset_out(self.offset_lm(self.offset_am(feats, train, lengths),
-                                                 train, lengths=lengths))
+        offsets = self.offset_out(self.offset_lm(emb['offset'], train,
+                                                 lengths=lengths))
         output[tools.KEY_OFFSETS] = offsets
 
         if self.estimate_velocity:
-            output[tools.KEY_VELOCITY] = self.velocity_out(
-                self.velocity_am(feats, train, lengths))
+            output[tools.KEY_VELOCITY] = self.velocity_out(emb['velocity'])
 
         if self.detach_heads:
             onsets = jax.lax.stop_gradient(onsets)
@@ -434,15 +657,11 @@ class OnsetsFramesOnline(OnsetsFrames):
         if self.model_complexity < 2:
             raise ValueError('OnsetsFramesOnline requires model_complexity >= 2.')
 
-        AcousticModel = _acoustic_model_cls(self.remat)
+        self._setup_acoustic()
 
-        self.onset_am = AcousticModel(self.dim_in, self.dim_am,
-                                      self.in_channels, self.model_complexity)
         self.onset_lm = OnlineLanguageModel(self.dim_am, self.dim_lm)
         self.onset_out = LogisticBank(dim_in=self.dim_lm, dim_out=self.dim_out)
 
-        self.pitch_am = AcousticModel(self.dim_in, self.dim_am,
-                                      self.in_channels, self.model_complexity)
         self.pitch_out = LogisticBank(dim_in=self.dim_am, dim_out=self.dim_out)
 
         self.adjoin_lm = OnlineLanguageModel(self.dim_aj, self.dim_lm)
@@ -461,10 +680,12 @@ class OnsetsFramesOnline(OnsetsFrames):
     def __call__(self, feats, train=False, carries=None, lengths=None):
         output = {}
 
-        multi_pitch = self.pitch_out(self.pitch_am(feats, train, lengths))
+        emb = self._embeddings(feats, train, lengths)
+
+        multi_pitch = self.pitch_out(emb['pitch'])
 
         onset_feats, onset_carry = self.onset_lm(
-            self.onset_am(feats, train, lengths),
+            emb['onset'],
             carry=None if carries is None else carries['onset'])
         onsets = self.onset_out(onset_feats)
         output[tools.KEY_ONSETS] = onsets

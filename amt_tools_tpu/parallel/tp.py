@@ -39,6 +39,8 @@ def tp_rules_default(axis='model'):
         (r'.*recurrent_kernel(_fwd|_bwd)?$', P(None, axis)),
         # Acoustic model / TabCNN dense projections: (E, D) sharded on D
         (r'.*(Dense_\d+|dense1)/kernel$', P(None, axis)),
+        # Grouped acoustic stack: per-head dense kernels (H, E, D) on D
+        (r'.*head_kernels$', P(None, axis)),
     ]
 
 
