@@ -49,8 +49,6 @@ class STFT(WaveformWrapper):
         audio = jnp.asarray(audio)
 
         if self._pallas_enabled():
-            import jax
-
             from ..ops.pallas_stft import split_bank_bf16, stft_power_pallas
 
             if self._dft_halves is None:
@@ -59,15 +57,18 @@ class STFT(WaveformWrapper):
                 self._dft_halves = split_bank_bf16(bank)
 
             hi, lo = self._dft_halves
-            single = (lambda a: stft_power_pallas(
+            call = (lambda a: stft_power_pallas(
                 a, hi, lo, self.n_fft, self.hop_length, center=self.center,
                 interpret=self._pallas_interpret))
 
-            if audio.ndim == 1:
-                return single(audio)
+            if audio.ndim <= 2:
+                # The kernel batches clips natively (clip-blocked grid) —
+                # vmapping instead would re-stream the DFT bank slabs per
+                # clip (61 GB of HBM traffic at batch 128)
+                return call(audio)
 
             lead = audio.shape[:-1]
-            power = jax.vmap(single)(audio.reshape((-1, audio.shape[-1])))
+            power = call(audio.reshape((-1, audio.shape[-1])))
 
             return power.reshape(lead + power.shape[1:])
 

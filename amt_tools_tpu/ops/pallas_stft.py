@@ -1,38 +1,45 @@
-"""Pallas TPU kernel: fused framing + windowed-DFT contraction for STFT/Mel.
+"""Fused Pallas STFT power-spectrum kernel.
 
-The XLA path (``ops.spectral.stft_mag``) materializes the (T, n_fft) frame
-matrix in HBM (4x audio duplication at hop 512 / n_fft 2048) and runs the
-XLA FFT over it — both stages are HBM-bandwidth bound and together cost
-~80 ms for a 64 x 60 s batch on v5e. This kernel keeps the raw audio in
-HBM, element-indexes each frame block straight into VMEM, and contracts it
+Computes framing + windowed DFT + |.|^2 in one pass: audio is framed
+directly in VMEM (no HBM frame matrix — the XLA path materializes a 4x
+audio-duplicating frame tensor at hop = n_fft/4) and each frame block runs
 against a precomputed windowed real-DFT bank on the MXU (same structure as
 ``ops.pallas_cqt``; the DFT bank comes from ``ops.spectral.dft_bank``),
 emitting the POWER spectrum:
 
-    grid = (num_frame_blocks, num_bin_tiles)
-    block job: frames[block]    (BLOCK_T x n_fft)        built in VMEM once
-               @ bank[tile]     (n_fft x 2 * BIN_TILE)   pipelined to VMEM
-               -> re^2 + im^2   (BLOCK_T x BIN_TILE)     written out
+    grid = (num_clip_blocks, num_frame_blocks, num_bin_tiles)
+    block job: frames[clips c, block i]  (CB * BLOCK_T x n_fft)  built in
+                                         VMEM once per (c, i)
+               @ bank[tile j]            (n_fft x 2 * BIN_TILE)  pipelined
+               -> re^2 + im^2            (CB, BLOCK_T, BIN_TILE) written out
 
 The bank is stored in a bin-tiled column layout ([re | im] pairs per tile,
 ``split_bank_bf16``) so each grid step streams one 2 * BIN_TILE-column
 slab — the full 2048-bin bank pair would otherwise occupy 16.8 MB of VMEM
 and trip the scoped-allocation limit.
 
+Batching ``CB`` clips per grid step is what makes the slab streaming
+affordable: with one clip per step (the earlier vmapped formulation) every
+(clip, frame-block) revisits all bank tiles, 61 GB of HBM slab traffic at
+batch 128 — the measured kernel cost was DMA-bound, not MXU-bound.
+CB = 8 divides that traffic by 8.
+
 Precision: a single-pass f32 MXU dot runs as one bfloat16 pass, whose
 rounding error scales with the FRAME energy, not the output bin — on tonal
-audio the heavy spectral cancellation then corrupts quiet bins by up to
-~10 dB. The kernel therefore defaults to a manual bf16x3 contraction
-(hi/lo splits of both operands, dropping only the lo*lo term), which is
-exact to ~4e-4 in the final [0, 1] dB feature scale while still ~3x faster
-than the FFT path; ``exact=False`` selects the single-pass mode for
-error-tolerant serving (measured 5.4x, with the quiet-bin caveat above).
+audio quiet bins come out tens of dB wrong. ``exact=True`` (default) runs
+the bf16x3 hi/lo split (error ~2^-16, final dB features within 4e-4 of the
+FFT path) for 3x the MXU work, still far cheaper than the XLA alternative.
+
+Used by ``features.STFT``/``features.MelSpec`` (``use_pallas='auto'``).
+Replaces the hot path of the reference's librosa STFT
+(``/root/reference/amt_tools/features/stft.py:66-72``).
 """
 
 import functools
 
 import jax
 import jax.numpy as jnp
+
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -42,9 +49,13 @@ except ImportError:
     from jax._src.pallas.core import Element
 
 __all__ = ['stft_power_pallas', 'pallas_stft_supported', 'split_bank_bf16',
-           'DEFAULT_BIN_TILE']
+           'DEFAULT_BIN_TILE', 'DEFAULT_CLIP_BLOCK']
 
-DEFAULT_BIN_TILE = 256
+# 128-bin slabs keep hi+lo double-buffered slabs at 4 MB so the f32 patch
+# can take (clip_block * block_t) = 512 frames; 256-bin slabs + the big
+# patch exceed the VMEM scoped-allocation limit
+DEFAULT_BIN_TILE = 128
+DEFAULT_CLIP_BLOCK = 8
 
 
 def pallas_stft_supported(n_fft, hop_length):
@@ -73,7 +84,7 @@ def split_bank_bf16(kernel, bin_tile=DEFAULT_BIN_TILE):
 
     Pure numpy (ml_dtypes bfloat16), so callers may build and cache the
     halves lazily even while being traced under an outer ``jit`` — jnp ops
-    here would leak tracers into the cache.
+    here would leak tracers.
     """
 
     import ml_dtypes
@@ -103,29 +114,37 @@ def split_bank_bf16(kernel, bin_tile=DEFAULT_BIN_TILE):
 
 
 def _stft_kernel(audio_ref, khi_ref, klo_ref, out_ref, patch_ref, *,
-                 block_t, n_fft, hop_length, bin_tile, exact):
-    """One (frame-block i, bin-tile j) step: patch once, contract, emit.
+                 clip_block, block_t, n_fft, hop_length, bin_tile, exact):
+    """One (clip-block c, frame-block i, bin-tile j) step.
 
-    The patch is built once per frame block (j == 0) and reused across the
-    bin tiles. Alternatives measured and rejected on v5e: tiles-outer grids
-    keep slabs resident but rebuild the patch per step (sublane-shifted
-    copies are expensive in Mosaic — 35-40 ms vs 34.6); a single resident
-    full bank is ~30% faster (26 ms at batch 64) but its 16.8 MB VMEM
-    footprint trips the 16 MB scoped-allocation limit in some surrounding
-    graphs (it compiled in the bench pipeline, failed in a quantile probe);
-    a DFT symmetry fold would halve bank+FLOPs but needs an in-kernel
-    flip, which this Mosaic version lacks (`rev` unimplemented).
+    The patch — ``clip_block`` clips x ``block_t`` frames — is built once
+    per (c, i) pair (j == 0) and reused across the bin tiles; bank slabs
+    stream per j but now cover ``clip_block`` clips of frames each.
+
+    Alternatives measured and rejected on v5e: tiles-outer grids keep
+    slabs resident but rebuild the patch per step (sublane-shifted copies
+    are expensive in Mosaic — 35-40 ms vs 34.6 at batch 64); a single
+    resident full bank is ~30% faster but its 16.8 MB VMEM footprint trips
+    the 16 MB scoped-allocation limit in some surrounding graphs; a DFT
+    symmetry fold would halve bank+FLOPs but needs an in-kernel flip,
+    which this Mosaic version lacks (`rev` unimplemented); bf16 (hi, lo)
+    patch scratches would halve the patch footprint, but dynamic-row
+    stores into (2,1)-packed bf16 scratch fail to lower, so the patch
+    stays f32.
     """
 
-    j = pl.program_id(1)
+    j = pl.program_id(2)
 
     @pl.when(j == 0)
     def _():
-        def build_row(r, _):
-            patch_ref[r, :] = audio_ref[0, pl.ds(r * hop_length, n_fft)]
+        def build_row(q, _):
+            clip = q // block_t
+            frame = q % block_t
+            patch_ref[q, :] = audio_ref[clip,
+                                        pl.ds(frame * hop_length, n_fft)]
             return 0
 
-        jax.lax.fori_loop(0, block_t, build_row, 0)
+        jax.lax.fori_loop(0, clip_block * block_t, build_row, 0)
 
     patch = patch_ref[...]
     p_hi = patch.astype(jnp.bfloat16)
@@ -140,17 +159,32 @@ def _stft_kernel(audio_ref, khi_ref, klo_ref, out_ref, patch_ref, *,
 
     re = acc[:, :bin_tile]
     im = acc[:, bin_tile:]
-    out_ref[...] = re * re + im * im
+    power = re * re + im * im
+
+    out_ref[...] = power.reshape(clip_block, block_t, bin_tile)
+
+
+def _pick_clip_block(batch):
+    """Clip block for this batch: 8 for any multi-clip batch, else 1.
+
+    The clip dim sits on sublanes in the audio block, so the block size
+    must be 8-divisible OR equal to the whole array dim (the 1-clip case);
+    intermediate sizes fail Mosaic's block-shape divisibility check.
+    Multi-clip batches pad up to a multiple of 8 in the caller.
+    """
+
+    return 1 if batch == 1 else DEFAULT_CLIP_BLOCK
 
 
 @functools.partial(jax.jit, static_argnames=('n_fft', 'hop_length', 'center',
-                                             'block_t', 'bin_tile', 'exact',
-                                             'interpret'))
+                                             'clip_block', 'block_t',
+                                             'bin_tile', 'exact', 'interpret'))
 def stft_power_pallas(audio, kernel_hi, kernel_lo, n_fft, hop_length,
-                      center=True, block_t=128, bin_tile=DEFAULT_BIN_TILE,
-                      exact=True, interpret=False):
-    """Fused STFT power spectrum: (N,) audio -> (n_bins, T), no HBM framing.
+                      center=True, clip_block=None, block_t=None,
+                      bin_tile=DEFAULT_BIN_TILE, exact=True, interpret=False):
+    """Fused STFT power spectrum, no HBM framing.
 
+    ``audio`` is (N,) -> (n_bins, T) or (B, N) -> (B, n_bins, T).
     ``kernel_hi``/``kernel_lo`` are the bin-tiled bf16 halves of the
     ``ops.spectral.dft_bank`` (via :func:`split_bank_bf16` with the same
     ``bin_tile``). Frame algebra matches ``spectral.stft_mag``:
@@ -162,6 +196,23 @@ def stft_power_pallas(audio, kernel_hi, kernel_lo, n_fft, hop_length,
 
     audio = jnp.asarray(audio)
     n_bins = n_fft // 2 + 1
+
+    single = audio.ndim == 1
+    if single:
+        audio = audio[None, :]
+    batch = audio.shape[0]
+
+    if clip_block is None:
+        clip_block = _pick_clip_block(batch)
+
+    # Pad partial clip blocks (their frames compute and are sliced away)
+    if batch % clip_block:
+        pad_clips = clip_block - batch % clip_block
+        audio = jnp.pad(audio, ((0, pad_clips), (0, 0)))
+    if block_t is None:
+        # Patch scratch is (clip_block * block_t, n_fft) f32 — sized so
+        # the bank slabs still double-buffer under the VMEM cap
+        block_t = 128 if clip_block <= 2 else 512 // clip_block
 
     num_tiles = -(-n_bins // bin_tile)
     if kernel_hi.shape != (n_fft, 2 * num_tiles * bin_tile):
@@ -179,34 +230,43 @@ def stft_power_pallas(audio, kernel_hi, kernel_lo, n_fft, hop_length,
         pad_left = 0
 
     num_blocks = -(-num_frames // block_t)
+    padded_batch = audio.shape[0]
+    num_clip_blocks = padded_batch // clip_block
 
     # Tail padding so every frame span is in bounds
     span = (block_t - 1) * hop_length + n_fft
     total = (num_blocks * block_t - 1) * hop_length + n_fft
-    audio = jnp.pad(audio, (pad_left,
-                            max(0, total - pad_left - num_samples) + span))
-    audio = audio[None, :]  # 2-D layout for the TPU
+    audio = jnp.pad(audio, ((0, 0), (pad_left,
+                            max(0, total - pad_left - num_samples) + span)))
 
     out = pl.pallas_call(
-        functools.partial(_stft_kernel, block_t=block_t, n_fft=n_fft,
+        functools.partial(_stft_kernel, clip_block=clip_block,
+                          block_t=block_t, n_fft=n_fft,
                           hop_length=hop_length, bin_tile=bin_tile,
                           exact=exact),
-        grid=(num_blocks, num_tiles),
+        grid=(num_clip_blocks, num_blocks, num_tiles),
         in_specs=[
-            # Overlapping audio span for block i, element-indexed; hop is a
-            # multiple of 128 so the offset stays lane-aligned
-            pl.BlockSpec((Element(1), Element(span)),
-                         lambda i, j: (0, pl.multiple_of(
+            # Overlapping audio spans for clip block c, frame block i;
+            # element-indexed — hop is a multiple of 128 so the sample
+            # offset stays lane-aligned
+            pl.BlockSpec((Element(clip_block), Element(span)),
+                         lambda c, i, j: (c * clip_block, pl.multiple_of(
                              i * block_t * hop_length, 128))),
-            # One [re | im] bank slab per bin tile, pipelined HBM -> VMEM
-            pl.BlockSpec((n_fft, 2 * bin_tile), lambda i, j: (0, j)),
-            pl.BlockSpec((n_fft, 2 * bin_tile), lambda i, j: (0, j)),
+            # One [re | im] bank slab per bin tile, pipelined HBM -> VMEM;
+            # j is the fastest grid dim, so each fetched slab serves a
+            # whole clip_block x block_t patch before moving on
+            pl.BlockSpec((n_fft, 2 * bin_tile), lambda c, i, j: (0, j)),
+            pl.BlockSpec((n_fft, 2 * bin_tile), lambda c, i, j: (0, j)),
         ],
-        out_specs=pl.BlockSpec((block_t, bin_tile), lambda i, j: (i, j)),
-        out_shape=jax.ShapeDtypeStruct((num_blocks * block_t,
+        out_specs=pl.BlockSpec((clip_block, block_t, bin_tile),
+                               lambda c, i, j: (c, i, j)),
+        out_shape=jax.ShapeDtypeStruct((padded_batch, num_blocks * block_t,
                                         num_tiles * bin_tile), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((block_t, n_fft), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((clip_block * block_t, n_fft),
+                                   jnp.float32)],
         interpret=interpret,
     )(audio, kernel_hi, kernel_lo)
 
-    return out[:num_frames, :n_bins].swapaxes(-1, -2)
+    out = out[:batch, :num_frames, :n_bins].swapaxes(-1, -2)
+
+    return out[0] if single else out

@@ -12,6 +12,7 @@ import os
 
 import optax
 import jax
+import jax.numpy as jnp
 
 from amt_tools_tpu.datasets import MAPS, DataLoader
 from amt_tools_tpu.models import OnsetsFrames
@@ -61,6 +62,10 @@ def config():
     # Flag to re-acquire ground-truth data and re-calculate features
     reset_data = False
 
+    # Run the model compute in bfloat16 (params/losses stay float32);
+    # ~1.4x faster forward on TPU, same recipe otherwise
+    bf16 = False
+
     # The random seed for this experiment
     seed = 0
 
@@ -68,7 +73,7 @@ def config():
 @ex.automain
 def onsets_frames_run(sample_rate, hop_length, num_frames, iterations,
                       checkpoints, batch_size, learning_rate, data_parallel,
-                      reset_data, seed, root_dir):
+                      reset_data, bf16, seed, root_dir):
     tools.seed_everything(seed)
 
     # Initialize the default piano profile
@@ -141,7 +146,8 @@ def onsets_frames_run(sample_rate, hop_length, num_frames, iterations,
                                 profile=profile,
                                 in_channels=data_proc.get_num_channels(),
                                 model_complexity=2,
-                                detach_heads=False)
+                                detach_heads=False,
+                                dtype=jnp.bfloat16 if bf16 else None)
 
     optimizer = optax.adam(learning_rate)
 

@@ -13,6 +13,7 @@ import os
 
 import optax
 import jax
+import jax.numpy as jnp
 
 from amt_tools_tpu.datasets import MAESTRO_V3, MAPS, DataLoader
 from amt_tools_tpu.models import OnsetsFrames2
@@ -72,6 +73,10 @@ def config():
     # Flag to re-acquire ground-truth data and re-calculate features
     reset_data = False
 
+    # Run the model compute in bfloat16 (params/losses stay float32);
+    # ~1.4x faster forward on TPU, same recipe otherwise
+    bf16 = False
+
     # The random seed for this experiment
     seed = 0
 
@@ -79,8 +84,8 @@ def config():
 @ex.automain
 def onsets_frames_2_run(sample_rate, hop_length, num_frames, iterations,
                         checkpoints, batch_size, learning_rate, warmup_steps,
-                        estimate_velocity, data_parallel, reset_data, seed,
-                        root_dir):
+                        estimate_velocity, data_parallel, reset_data, bf16,
+                        seed, root_dir):
     tools.seed_everything(seed)
 
     profile = tools.PianoProfile()
@@ -165,7 +170,8 @@ def onsets_frames_2_run(sample_rate, hop_length, num_frames, iterations,
                                  in_channels=data_proc.get_num_channels(),
                                  model_complexity=3,
                                  detach_heads=True,
-                                 estimate_velocity=estimate_velocity)
+                                 estimate_velocity=estimate_velocity,
+                                 dtype=jnp.bfloat16 if bf16 else None)
 
     optimizer = optax.adam(learning_rate)
 

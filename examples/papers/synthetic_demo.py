@@ -13,6 +13,7 @@ import os
 
 import optax
 import jax
+import jax.numpy as jnp
 
 from amt_tools_tpu.datasets import SyntheticPiano, DataLoader
 from amt_tools_tpu.models import OnsetsFrames, OnsetsFrames2
@@ -78,6 +79,9 @@ def config():
     # Whether to shard batches across all local devices (data parallel)
     data_parallel = False
 
+    # Run the model compute in bfloat16 (params/losses stay float32)
+    bf16 = False
+
     # The random seed for this experiment
     seed = 0
 
@@ -88,7 +92,7 @@ def synthetic_demo(sample_rate, hop_length, num_frames, iterations,
                    num_train_tracks, num_test_tracks, track_duration,
                    notes_per_track, noise_snr_db, reverb_time,
                    velocity_range, timbre_jitter, estimate_velocity,
-                   data_parallel, seed, root_dir):
+                   data_parallel, bf16, seed, root_dir):
     difficulty = dict(noise_snr_db=noise_snr_db, reverb_time=reverb_time,
                       velocity_range=(tuple(velocity_range)
                                       if velocity_range else None),
@@ -131,13 +135,14 @@ def synthetic_demo(sample_rate, hop_length, num_frames, iterations,
     train_loader = DataLoader(train_set, batch_size=batch_size, shuffle=True,
                               drop_last=True, seed=seed)
 
+    dtype = jnp.bfloat16 if bf16 else None
     if estimate_velocity:
         model = OnsetsFrames2(dim_in=data_proc.get_feature_size(),
                               profile=profile, model_complexity=2,
-                              estimate_velocity=True)
+                              estimate_velocity=True, dtype=dtype)
     else:
         model = OnsetsFrames(dim_in=data_proc.get_feature_size(),
-                             profile=profile, model_complexity=2)
+                             profile=profile, model_complexity=2, dtype=dtype)
 
     mesh = get_mesh() if data_parallel else None
 

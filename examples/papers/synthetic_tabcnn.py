@@ -15,6 +15,7 @@ import os
 
 import optax
 import jax
+import jax.numpy as jnp
 
 from amt_tools_tpu.datasets import SyntheticGuitar, DataLoader
 from amt_tools_tpu.models import TabCNN
@@ -71,6 +72,9 @@ def config():
     # Whether to shard batches across all local devices (data parallel)
     data_parallel = False
 
+    # Run the model compute in bfloat16 (params/losses stay float32)
+    bf16 = False
+
     # The random seed for this experiment
     seed = 0
 
@@ -80,8 +84,8 @@ def synthetic_tabcnn(sample_rate, hop_length, num_frames, iterations,
                      checkpoints, batch_size, learning_rate,
                      num_train_tracks, num_test_tracks, track_duration,
                      notes_per_track, noise_snr_db, reverb_time,
-                     velocity_range, timbre_jitter, data_parallel, seed,
-                     root_dir):
+                     velocity_range, timbre_jitter, data_parallel, bf16,
+                     seed, root_dir):
     difficulty = dict(noise_snr_db=noise_snr_db, reverb_time=reverb_time,
                       velocity_range=(tuple(velocity_range)
                                       if velocity_range else None),
@@ -126,7 +130,8 @@ def synthetic_tabcnn(sample_rate, hop_length, num_frames, iterations,
                               drop_last=True, seed=seed)
 
     model = TabCNN(dim_in=data_proc.get_feature_size(), profile=profile,
-                   in_channels=data_proc.get_num_channels())
+                   in_channels=data_proc.get_num_channels(),
+                   dtype=jnp.bfloat16 if bf16 else None)
 
     mesh = get_mesh() if data_parallel else None
 

@@ -149,3 +149,38 @@ def test_slice_framing_equals_gather_framing():
     # non-dividing hop keeps the gather path; frame algebra unchanged
     frames = spectral.frame_signal(audio, 512, 200, center=True)
     assert frames.shape == (2, 1 + 5000 // 200, 512)
+
+
+def test_pallas_stft_batched_clip_blocks():
+    """The clip-blocked grid (clip_block > 1) matches per-clip results."""
+
+    n_fft, hop = 512, 128
+    clips = np.stack([_tonal_audio(8000, seed=s) for s in range(4)])
+    hi, lo = split_bank_bf16(spectral.dft_bank(n_fft))
+
+    got = stft_power_pallas(jnp.asarray(clips), hi, lo, n_fft, hop,
+                            clip_block=2, block_t=8, interpret=True)
+
+    assert got.shape[0] == 4
+    for b in range(4):
+        ref = _power_ref(clips[b], n_fft, hop)
+        scale = float(jnp.max(ref))
+        np.testing.assert_allclose(np.asarray(got[b]) / scale,
+                                   np.asarray(ref) / scale, atol=2e-5)
+
+
+def test_pallas_stft_batch_not_divisible_by_default_block():
+    """Odd batch sizes fall back to a clip block that divides them."""
+
+    n_fft, hop = 512, 128
+    clips = np.stack([_tonal_audio(4000, seed=s) for s in range(3)])
+    hi, lo = split_bank_bf16(spectral.dft_bank(n_fft))
+
+    got = stft_power_pallas(jnp.asarray(clips), hi, lo, n_fft, hop,
+                            block_t=8, interpret=True)
+
+    for b in range(3):
+        ref = _power_ref(clips[b], n_fft, hop)
+        scale = float(jnp.max(ref))
+        np.testing.assert_allclose(np.asarray(got[b]) / scale,
+                                   np.asarray(ref) / scale, atol=2e-5)

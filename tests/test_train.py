@@ -162,3 +162,44 @@ def test_train_loop_data_parallel(setup, tmp_path):
                   log_dir=str(tmp_path / 'dp'), mesh=mesh,
                   rng=jax.random.PRNGKey(0))
     assert int(state.step) == 2
+
+
+def test_bf16_training_decreases_loss():
+    """bf16 compute dtype: params/losses stay f32, training converges.
+
+    The paper scripts expose this as ``bf16=true`` (reference recipes run
+    f32; bf16 is the TPU speed option — forward measured ~1.4x on v5e).
+    """
+
+    import jax.numpy as jnp
+
+    from amt_tools_tpu.models import OnsetsFrames2
+
+    profile = tools.PianoProfile()
+    dim_out = profile.get_range_len()
+    rng = np.random.RandomState(0)
+    batch = {
+        tools.KEY_FEATS: rng.rand(2, 1, 72, 16).astype(np.float32),
+        tools.KEY_MULTIPITCH: (rng.rand(2, dim_out, 16) > 0.9
+                               ).astype(np.float32),
+    }
+    batch[tools.KEY_ONSETS] = batch[tools.KEY_MULTIPITCH].copy()
+
+    model = OnsetsFrames2(dim_in=72, profile=profile, model_complexity=2,
+                          dtype=jnp.bfloat16)
+    optimizer = optax.adam(6e-4)
+
+    state = init_state(model, optimizer, batch, jax.random.PRNGKey(0))
+    step = make_train_step(model, optimizer)
+
+    losses = []
+    for _ in range(6):
+        state, loss = step(state, dict(batch))
+        losses.append(float(loss[tools.KEY_LOSS_TOTAL]))
+
+    assert all(np.isfinite(l) for l in losses)
+    assert losses[-1] < losses[0]
+
+    # Parameters and optimizer state stay full precision
+    assert all(l.dtype == np.float32
+               for l in jax.tree_util.tree_leaves(state.params))
