@@ -686,7 +686,8 @@ class OnsetsFramesOnline(OnsetsFrames):
 
         onset_feats, onset_carry = self.onset_lm(
             emb['onset'],
-            carry=None if carries is None else carries['onset'])
+            carry=None if carries is None else carries['onset'],
+            train=train)
         onsets = self.onset_out(onset_feats)
         output[tools.KEY_ONSETS] = onsets
 
@@ -695,7 +696,8 @@ class OnsetsFramesOnline(OnsetsFrames):
 
         joint = jnp.concatenate((onsets, multi_pitch), axis=-1)
         adjoin_feats, adjoin_carry = self.adjoin_lm(
-            joint, carry=None if carries is None else carries['adjoin'])
+            joint, carry=None if carries is None else carries['adjoin'],
+            train=train)
         output[tools.KEY_MULTIPITCH] = self.adjoin_out(adjoin_feats)
 
         if carries is None:

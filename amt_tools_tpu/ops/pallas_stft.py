@@ -61,8 +61,11 @@ DEFAULT_CLIP_BLOCK = 8
 def pallas_stft_supported(n_fft, hop_length):
     """Whether the fused STFT kernel's constraints hold for these params.
 
-    Requires a TPU backend, lane-aligned (128) hop, hop dividing n_fft, and
-    n_fft <= 4096 (the frame patch must fit VMEM comfortably).
+    Requires a TPU backend, lane-aligned (128) hop, hop dividing n_fft,
+    and n_fft <= 2048: the default clip-batched tiling budgets its VMEM
+    (patch scratch + double-buffered bank slabs) for n_fft = 2048; at 4096
+    the same tiling would exceed the 16 MB scoped-allocation limit, so
+    larger transforms take the XLA FFT path instead.
     """
 
     import jax
@@ -71,7 +74,7 @@ def pallas_stft_supported(n_fft, hop_length):
         return False
 
     return (hop_length % 128 == 0 and n_fft % hop_length == 0 and
-            n_fft <= 4096)
+            n_fft <= 2048)
 
 
 def split_bank_bf16(kernel, bin_tile=DEFAULT_BIN_TILE):
@@ -165,15 +168,16 @@ def _stft_kernel(audio_ref, khi_ref, klo_ref, out_ref, patch_ref, *,
 
 
 def _pick_clip_block(batch):
-    """Clip block for this batch: 8 for any multi-clip batch, else 1.
+    """Clip block for this batch.
 
     The clip dim sits on sublanes in the audio block, so the block size
-    must be 8-divisible OR equal to the whole array dim (the 1-clip case);
+    must be 8-divisible OR equal to the whole (padded) array dim;
     intermediate sizes fail Mosaic's block-shape divisibility check.
-    Multi-clip batches pad up to a multiple of 8 in the caller.
+    Small batches take the whole batch per step (block == array dim);
+    larger ones take 8 and pad up to a multiple of 8 in the caller.
     """
 
-    return 1 if batch == 1 else DEFAULT_CLIP_BLOCK
+    return batch if batch <= DEFAULT_CLIP_BLOCK else DEFAULT_CLIP_BLOCK
 
 
 @functools.partial(jax.jit, static_argnames=('n_fft', 'hop_length', 'center',
@@ -209,10 +213,20 @@ def stft_power_pallas(audio, kernel_hi, kernel_lo, n_fft, hop_length,
     if batch % clip_block:
         pad_clips = clip_block - batch % clip_block
         audio = jnp.pad(audio, ((0, pad_clips), (0, 0)))
+
+    # Mosaic constraint on the audio block's sublane (clip) dim: the block
+    # size must be 8-divisible or span the whole padded batch (interpret
+    # mode does not enforce this, so tests may use other sizes)
+    if not interpret and clip_block % 8 and clip_block != audio.shape[0]:
+        raise ValueError(
+            f'clip_block={clip_block} must be a multiple of 8 or equal to '
+            f'the padded batch ({audio.shape[0]}) on TPU')
     if block_t is None:
         # Patch scratch is (clip_block * block_t, n_fft) f32 — sized so
-        # the bank slabs still double-buffer under the VMEM cap
+        # the bank slabs still double-buffer under the VMEM cap; the
+        # output block's sublane dim needs block_t to be 8-divisible
         block_t = 128 if clip_block <= 2 else 512 // clip_block
+        block_t = max(8, block_t - block_t % 8)
 
     num_tiles = -(-n_bins // bin_tile)
     if kernel_hi.shape != (n_fft, 2 * num_tiles * bin_tile):

@@ -78,13 +78,28 @@ def serve(batch_size, clip_seconds, checkpoint, data_parallel, capacity):
         x, train=False))(feats_shape[tools.KEY_FEATS])
 
     if checkpoint:
-        from amt_tools_tpu.train import latest_checkpoint, load_checkpoint
-        path = latest_checkpoint(checkpoint)
-        state = load_checkpoint(path, None)
+        import optax
+
+        from amt_tools_tpu.train import (init_state, latest_checkpoint,
+                                         load_checkpoint)
+
+        path, iteration = latest_checkpoint(checkpoint)
+        if path is None:
+            raise FileNotFoundError(f'No checkpoint under {checkpoint}')
+
+        # Abstract state mirroring train()'s optimizer (adam, the paper
+        # recipes' default — a schedule-chained optimizer changes the
+        # opt_state tree, so serve the matching optimizer if you used one)
+        abstract = init_state(model, optax.adam(1e-3),
+                              {tools.KEY_FEATS: np.zeros(
+                                  (1, 1, 229, 8), np.float32)},
+                              rng=jax.random.PRNGKey(0))
+        state = load_checkpoint(path, jax.device_get(abstract))
+
         variables = {'params': state.params}
         if state.batch_stats:
             variables['batch_stats'] = state.batch_stats
-        print(f'serving checkpoint {path}')
+        print(f'serving checkpoint at iteration {iteration}: {path}')
     else:
         # Random weights stay silent (sparse-activity prior); calibrate the
         # output biases to trained-model-like firing rates for the demo

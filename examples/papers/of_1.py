@@ -62,8 +62,10 @@ def config():
     # Flag to re-acquire ground-truth data and re-calculate features
     reset_data = False
 
-    # Run the model compute in bfloat16 (params/losses stay float32);
-    # ~1.4x faster forward on TPU, same recipe otherwise
+    # Run the model compute in bfloat16 (params/losses stay float32).
+    # Recipe-scale TRAINING steps measure ~parity on v5e (they are
+    # scan/bandwidth-bound, not MXU-bound); large-batch inference gains
+    # ~1.4x. Same recipe semantics either way.
     bf16 = False
 
     # The random seed for this experiment

@@ -70,3 +70,44 @@ def test_supported_gating():
         assert pallas_lstm_supported(128, 256)
         assert not pallas_lstm_supported(127, 256)   # batch % 8
         assert not pallas_lstm_supported(128, 100)   # 4H % 128
+
+
+def test_training_paths_never_take_the_kernel(monkeypatch):
+    """Differentiating train=True forwards must stay on the XLA scan.
+
+    The kernel has no VJP; LanguageModel/OnlineLanguageModel gate it with
+    ``allow_pallas=not train``. Force ``pallas_lstm_supported`` to True: if
+    any training path routes through the kernel, jax raises on the missing
+    differentiation rule and this test fails.
+    """
+
+    import optax
+
+    from amt_tools_tpu import tools
+    from amt_tools_tpu.models import OnsetsFrames2, OnsetsFramesOnline
+    from amt_tools_tpu.train import init_state, make_train_step
+    from amt_tools_tpu.ops import pallas_lstm
+
+    profile = tools.PianoProfile()
+    dim_out = profile.get_range_len()
+    rng = np.random.RandomState(0)
+    batch = {
+        tools.KEY_FEATS: rng.rand(8, 1, 72, 16).astype(np.float32),
+        tools.KEY_MULTIPITCH: (rng.rand(8, dim_out, 16) > 0.9
+                               ).astype(np.float32),
+    }
+    batch[tools.KEY_ONSETS] = batch[tools.KEY_MULTIPITCH].copy()
+
+    for model_cls in (OnsetsFrames2, OnsetsFramesOnline):
+        model = model_cls(dim_in=72, profile=profile, model_complexity=2)
+        opt = optax.adam(1e-3)
+        # Init traces train=False (kernel-eligible) — patch after it
+        state = init_state(model, opt, batch, jax.random.PRNGKey(0))
+
+        with monkeypatch.context() as patched:
+            patched.setattr(pallas_lstm, 'pallas_lstm_supported',
+                            lambda batch, hidden: True)
+            step = make_train_step(model, opt)
+            state, loss = step(state, dict(batch))
+
+        assert np.isfinite(float(loss[tools.KEY_LOSS_TOTAL]))

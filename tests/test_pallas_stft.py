@@ -170,7 +170,7 @@ def test_pallas_stft_batched_clip_blocks():
 
 
 def test_pallas_stft_batch_not_divisible_by_default_block():
-    """Odd batch sizes fall back to a clip block that divides them."""
+    """Small odd batches take the whole batch as one clip block."""
 
     n_fft, hop = 512, 128
     clips = np.stack([_tonal_audio(4000, seed=s) for s in range(3)])
