@@ -120,8 +120,12 @@ class LanguageModel(nn.Module):
         hidden = self.dim_out // (2 if self.bidirectional else 1)
 
         # TPU-optimized scan LSTM with hoisted input projections
-        # (ops/lstm.py); inference additionally fuses the recurrence into
-        # a Pallas kernel — training needs the differentiable XLA scan
+        # (ops/lstm.py); whole-sequence INFERENCE fuses the recurrence
+        # into a Pallas kernel. The kernel is differentiable (custom-VJP
+        # BPTT kernel), but at recipe-scale training batches the XLA scan
+        # measures faster (O&F2-c3: 140 vs 197 ms/step bf16 — small-batch
+        # steps are overhead-bound and the residual writes cost more than
+        # the scan saves), so training keeps the scan as a perf choice.
         if self.bidirectional:
             return FastBiLSTM(features=hidden, dtype=self.dtype)(
                 feats, lengths=lengths, allow_pallas=not train)
@@ -153,8 +157,9 @@ class OnlineLanguageModel(nn.Module):
         rnn = FastLSTM(features=self.dim_out)
 
         if carry is None:
-            # Whole-sequence path: used in training, so keep the
-            # differentiable XLA scan
+            # Whole-sequence path: the kernel is differentiable (custom
+            # VJP) but the XLA scan measures faster at training batch
+            # sizes — same perf choice as LanguageModel
             return rnn(feats, allow_pallas=not train), None
 
         new_carry, out = rnn(feats, initial_carry=carry, return_carry=True)

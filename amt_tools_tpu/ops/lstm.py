@@ -12,11 +12,14 @@ sizes used here.
 ``FastBiLSTM`` runs the forward and backward directions as two scans over
 the shared hoisted projections.
 
-On TPU, whole-sequence inference (no mask, no streaming carry) runs the
+On TPU, whole-sequence passes (no mask, no streaming carry) run the
 recurrence as a fused Pallas kernel instead (``ops/pallas_lstm.py``,
-~2.3x the XLA scan at serving scale); training and masked/streaming paths
-keep the differentiable XLA scan. Callers that differentiate with
-``train=False`` must pass ``allow_pallas=False`` (the kernel has no VJP).
+~2.3x the XLA scan at serving scale). The kernel carries a custom VJP
+whose backward is a second Pallas kernel (BPTT in the opposite traversal
+order), so differentiating through it is safe — but at recipe-scale
+training batches the XLA scan measures faster, so the built-in models
+pass ``allow_pallas=not train``; masked/streaming paths always keep the
+XLA scan.
 """
 
 from typing import Optional
@@ -116,9 +119,10 @@ class FastLSTM(nn.Module):
 
         if (allow_pallas and lengths is None and initial_carry is None
                 and not return_carry):
-            from .pallas_lstm import lstm_scan_pallas, pallas_lstm_supported
+            from .pallas_lstm import (lstm_scan_pallas_grad,
+                                      pallas_lstm_supported)
             if pallas_lstm_supported(batch, hidden):
-                return lstm_scan_pallas(xw, w_h)
+                return lstm_scan_pallas_grad(xw, w_h)
 
         if initial_carry is None:
             c0 = jnp.zeros((batch, hidden), dtype=xw.dtype)
@@ -163,10 +167,11 @@ class FastBiLSTM(nn.Module):
                            (hidden, 4 * hidden))
 
         if allow_pallas and lengths is None:
-            from .pallas_lstm import lstm_scan_pallas, pallas_lstm_supported
+            from .pallas_lstm import (lstm_scan_pallas_grad,
+                                      pallas_lstm_supported)
             if pallas_lstm_supported(batch, hidden):
-                out_f = lstm_scan_pallas(xw_f, w_h_f)
-                out_b = lstm_scan_pallas(xw_b, w_h_b, reverse=True)
+                out_f = lstm_scan_pallas_grad(xw_f, w_h_f)
+                out_b = lstm_scan_pallas_grad(xw_b, w_h_b, reverse=True)
 
                 return jnp.concatenate([out_f, out_b], axis=-1)
 

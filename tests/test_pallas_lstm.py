@@ -72,42 +72,42 @@ def test_supported_gating():
         assert not pallas_lstm_supported(128, 100)   # 4H % 128
 
 
-def test_training_paths_never_take_the_kernel(monkeypatch):
-    """Differentiating train=True forwards must stay on the XLA scan.
+@pytest.mark.parametrize('reverse', [False, True])
+def test_custom_vjp_matches_scan_gradients(reverse):
+    """The kernel's custom-VJP backward equals the XLA scan's gradients.
 
-    The kernel has no VJP; LanguageModel/OnlineLanguageModel gate it with
-    ``allow_pallas=not train``. Force ``pallas_lstm_supported`` to True: if
-    any training path routes through the kernel, jax raises on the missing
-    differentiation rule and this test fails.
+    Training routes through ``lstm_scan_pallas_grad`` (a second Pallas
+    kernel runs BPTT in the opposite traversal order); its d(xw) and
+    d(W_h) must match autodiff through ``_lstm_scan``. T deliberately not
+    a multiple of block_t: zero-padded residual rows must annihilate the
+    backward carries.
     """
 
-    import optax
+    from amt_tools_tpu.ops.pallas_lstm import lstm_scan_pallas_grad
 
-    from amt_tools_tpu import tools
-    from amt_tools_tpu.models import OnsetsFrames2, OnsetsFramesOnline
-    from amt_tools_tpu.train import init_state, make_train_step
-    from amt_tools_tpu.ops import pallas_lstm
-
-    profile = tools.PianoProfile()
-    dim_out = profile.get_range_len()
+    batch, frames, hidden = 8, 37, 32
     rng = np.random.RandomState(0)
-    batch = {
-        tools.KEY_FEATS: rng.rand(8, 1, 72, 16).astype(np.float32),
-        tools.KEY_MULTIPITCH: (rng.rand(8, dim_out, 16) > 0.9
-                               ).astype(np.float32),
-    }
-    batch[tools.KEY_ONSETS] = batch[tools.KEY_MULTIPITCH].copy()
+    xw = jnp.asarray(rng.randn(batch, frames, 4 * hidden).astype(np.float32)
+                     * 0.3)
+    w_h = jnp.asarray(rng.randn(hidden, 4 * hidden).astype(np.float32) * 0.05)
+    dout = jnp.asarray(rng.randn(batch, frames, hidden).astype(np.float32))
 
-    for model_cls in (OnsetsFrames2, OnsetsFramesOnline):
-        model = model_cls(dim_in=72, profile=profile, model_complexity=2)
-        opt = optax.adam(1e-3)
-        # Init traces train=False (kernel-eligible) — patch after it
-        state = init_state(model, opt, batch, jax.random.PRNGKey(0))
+    zeros = jnp.zeros((batch, hidden))
 
-        with monkeypatch.context() as patched:
-            patched.setattr(pallas_lstm, 'pallas_lstm_supported',
-                            lambda batch, hidden: True)
-            step = make_train_step(model, opt)
-            state, loss = step(state, dict(batch))
+    def loss_ref(xw, w_h):
+        out, _ = _lstm_scan(xw, zeros, zeros, w_h, reverse=reverse)
+        return jnp.sum(out * dout)
 
-        assert np.isfinite(float(loss[tools.KEY_LOSS_TOTAL]))
+    def loss_kernel(xw, w_h):
+        out = lstm_scan_pallas_grad(xw, w_h, reverse, 16, True)
+        return jnp.sum(out * dout)
+
+    np.testing.assert_allclose(float(loss_kernel(xw, w_h)),
+                               float(loss_ref(xw, w_h)), rtol=1e-6)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1))(xw, w_h)
+    g_kernel = jax.grad(loss_kernel, argnums=(0, 1))(xw, w_h)
+
+    for a, b in zip(g_ref, g_kernel):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=2e-5, rtol=1e-4)
