@@ -17,7 +17,8 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 librosa+PyTorch pipeline is strictly slower than real time on CPU features.
 
 ``python bench.py sweep`` additionally prints a batch-size sweep to stderr
-(dispatch-latency knee diagnostics).
+(dispatch-latency knee diagnostics); ``python bench.py breakdown`` prints
+per-component timings (mel / forward / decode / fused pipeline).
 """
 
 import json
@@ -167,6 +168,61 @@ def main():
     print(json.dumps(result))
 
 
+def breakdown():
+    """Per-component timings at the headline config (stderr only).
+
+    Times each pipeline stage in isolation with a forced device sync —
+    the where-does-the-time-go table behind the headline number.
+    """
+
+    import jax
+    import jax.numpy as jnp
+
+    try:
+        jax.config.update('jax_compilation_cache_dir',
+                          os.path.expanduser('~/.cache/jax'))
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+    except Exception:
+        pass
+
+    from amt_tools_tpu import tools
+    from amt_tools_tpu.ops import decode
+
+    pipeline, audio = build_pipeline(128, 60.0)
+    model, variables, mel = pipeline.model, pipeline.variables, pipeline.data_proc
+
+    num_frames = 1 + audio.shape[-1] // 512
+    feats = jax.jit(lambda a: model.pre_proc(
+        {tools.KEY_FEATS: mel.process_jax(a)})[tools.KEY_FEATS])(audio)
+    jax.block_until_ready(feats)
+
+    raw = jax.jit(lambda v, f: model.apply(v, f, train=False))(variables, feats)
+    mp = decode.threshold(jax.nn.sigmoid(
+        jnp.swapaxes(raw[tools.KEY_MULTIPITCH], -1, -2)), 0.5)
+    on = decode.threshold(jax.nn.sigmoid(
+        jnp.swapaxes(raw[tools.KEY_ONSETS], -1, -2)), 0.5)
+    jax.block_until_ready((mp, on))
+
+    def timeit(name, fn, *args, runs=6):
+        out = fn(*args)
+        float(jnp.sum(jax.tree_util.tree_leaves(out)[0].astype(jnp.float32)))
+        t0 = time.perf_counter()
+        for _ in range(runs):
+            out = fn(*args)
+        float(jnp.sum(jax.tree_util.tree_leaves(out)[0].astype(jnp.float32)))
+        _log(f'{name:28s} {(time.perf_counter() - t0) / runs * 1e3:7.1f} ms')
+
+    timeit('mel frontend', jax.jit(mel.process_jax), audio)
+    timeit('model forward (O&F2 c3)',
+           jax.jit(lambda v, f: model.apply(v, f, train=False)),
+           variables, feats)
+    timeit('note decode',
+           jax.jit(jax.vmap(lambda m, o: decode.notes_on_device(
+               m, o, capacity=NOTE_CAPACITY))), mp, on)
+    timeit('fused pipeline (end to end)',
+           pipeline._pipeline, pipeline.variables, audio)
+
+
 def sweep():
     """Batch-size sweep: find the dispatch-latency knee (stderr only)."""
 
@@ -192,5 +248,7 @@ def sweep():
 if __name__ == '__main__':
     if len(sys.argv) > 1 and sys.argv[1] == 'sweep':
         sweep()
+    elif len(sys.argv) > 1 and sys.argv[1] == 'breakdown':
+        breakdown()
     else:
         main()

@@ -104,7 +104,7 @@ def test_melspec_pallas_path_matches_fft_path():
     # Final [0, 1] dB-scaled features agree tightly (bf16x3 contraction)
     np.testing.assert_allclose(got, ref, atol=2e-3)
 
-    # Batched audio goes through the vmapped kernel
+    # Batched audio goes through the clip-blocked kernel grid
     batched = np.stack([audio, audio * 0.5])
     got_b = np.asarray(fast_mod.process_jax(batched))
     assert got_b.shape == (2,) + ref.shape
