@@ -8,6 +8,13 @@ waveform and its Mel spectrogram in real time. Requires the optional
 Run: ``python microphone.py``  (press Ctrl+C or ENTER to stop)
 """
 
+import os
+import sys
+
+# Runnable without installation: resolve the repo root
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                '..', '..'))
+
 import numpy as np
 
 from amt_tools_tpu.features import MelSpec, MicrophoneStream

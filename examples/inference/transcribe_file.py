@@ -9,6 +9,13 @@ latest checkpoint from ``checkpoint_dir`` if given, else random weights for
 a smoke run), decodes notes, and writes them as ``onset offset pitch`` lines.
 """
 
+import os
+import sys
+
+# Runnable without installation: resolve the repo root
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                '..', '..'))
+
 import sys
 
 import numpy as np

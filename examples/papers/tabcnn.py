@@ -8,6 +8,11 @@ Run: ``python tabcnn.py [key=value overrides...]``
 """
 
 import os
+import sys
+
+# Runnable without installation: resolve the repo root
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                '..', '..'))
 
 import optax
 import jax
