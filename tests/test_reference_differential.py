@@ -1,0 +1,483 @@
+"""Differential parity: run the REFERENCE implementation against the rebuild.
+
+Every other parity test in this suite checks the rebuild against the
+builder's own understanding of the reference semantics. These tests remove
+that circularity: the actual reference package (``/root/reference``,
+torch/numpy) is imported (``tests/refcompat.py``) and executed side by side
+with the rebuild on identical weights and identical inputs —
+
+* output-layer losses (reference ``models/common.py:369-441`` SoftmaxGroups
+  CE, ``:541-584`` LogisticBank BCE) to ~1e-6,
+* full OnsetsFrames / OnsetsFrames2 / TabCNN forwards + losses with weights
+  ported torch -> flax (reference ``onsetsframes.py:94-136, 229-276``,
+  ``tabcnn.py:137-184``),
+* the conversion library (reference ``tools/utils.py``) on randomized and
+  adversarial fixtures, bit-exact.
+
+Known, documented divergences (PARITY.md) are asserted AS divergences where
+practical so a silent behavior change on either side is caught.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import refcompat
+from amt_tools_tpu import tools
+from amt_tools_tpu.models import (LogisticBank, OnsetsFrames, OnsetsFrames2,
+                                  SoftmaxGroups, TabCNN, run_on_batch)
+from amt_tools_tpu.tools.instrument import GuitarProfile, PianoProfile
+
+torch = pytest.importorskip('torch')
+
+ref = refcompat.load_reference()
+rtools = ref.tools
+
+
+# ---------------------------------------------------------------------------
+# helpers
+
+
+def torch_batch(batch):
+    """numpy batch dict -> torch batch dict (float32 features/labels)."""
+
+    out = {}
+    for key, value in batch.items():
+        arr = np.asarray(value)
+        out[key] = torch.from_numpy(arr.astype(np.float32))
+
+    return out
+
+
+def jnp_batch(batch):
+    return {k: jnp.asarray(np.asarray(v), dtype=jnp.float32)
+            for k, v in batch.items()}
+
+
+def assert_close(mine, theirs, tol, what):
+    mine = np.asarray(mine, dtype=np.float64)
+    theirs = np.asarray(theirs, dtype=np.float64)
+    assert mine.shape == theirs.shape, \
+        f'{what}: shape {mine.shape} vs reference {theirs.shape}'
+    err = np.max(np.abs(mine - theirs)) if mine.size else 0.0
+    assert err < tol, f'{what}: max abs err {err} >= {tol}'
+
+
+def random_notes(rng, count, low=40, high=90, max_time=4.0):
+    """Random (pitches, intervals) with valid (onset < offset) intervals."""
+
+    pitches = rng.randint(low, high, count).astype(np.float64)
+    onsets = rng.uniform(0, max_time * 0.8, count)
+    durations = rng.uniform(0.05, 1.0, count)
+    intervals = np.stack([onsets, onsets + durations], axis=-1)
+    order = np.argsort(onsets)
+
+    return pitches[order], intervals[order]
+
+
+# ---------------------------------------------------------------------------
+# output-layer losses
+
+
+@pytest.mark.parametrize('weighted', [False, True])
+def test_logistic_bank_loss_differential(rng, weighted):
+    dim_in, dim_out, batch, frames = 16, 12, 3, 17
+
+    weights = rng.uniform(0.5, 2.0, dim_out).astype(np.float32) if weighted else None
+
+    # NB: passing weights to the reference constructor crashes — it reads
+    # self.weights before assigning it (``models/common.py:232``, documented
+    # in PARITY.md) — so weights are installed via set_weights afterwards.
+    ref_bank = ref.models.LogisticBank(dim_in, dim_out)
+    if weighted:
+        ref_bank.set_weights(weights.flatten())
+    my_bank = LogisticBank(dim_in=dim_in, dim_out=dim_out, weights=weights)
+
+    logits = rng.randn(batch, frames, dim_out).astype(np.float32)
+    labels = (rng.rand(batch, dim_out, frames) > 0.7).astype(np.float32)
+
+    ref_loss = float(ref_bank.get_loss(torch.from_numpy(logits),
+                                       torch.from_numpy(labels)))
+    my_loss = float(my_bank.get_loss(jnp.asarray(logits), jnp.asarray(labels)))
+
+    assert abs(my_loss - ref_loss) < 1e-6 * max(1.0, abs(ref_loss))
+
+
+@pytest.mark.parametrize('weighted', [False, True])
+def test_softmax_groups_loss_differential(rng, weighted):
+    dim_in, groups, classes, batch, frames = 16, 6, 20, 3, 17
+
+    weights = (rng.uniform(0.5, 2.0, groups * classes).astype(np.float32)
+               if weighted else None)
+
+    ref_groups = ref.models.SoftmaxGroups(dim_in, groups, classes)
+    if weighted:
+        ref_groups.set_weights(weights.flatten())
+    my_groups = SoftmaxGroups(dim_in=dim_in, dim_out=groups * classes,
+                              num_groups=groups, num_classes=classes,
+                              weights=weights)
+
+    logits = rng.randn(batch, frames, groups * classes).astype(np.float32)
+    labels = rng.randint(-1, classes - 1, (batch, groups, frames))
+
+    ref_loss = float(ref_groups.get_loss(
+        torch.from_numpy(logits), torch.from_numpy(labels.astype(np.float32))))
+    my_loss = float(my_groups.get_loss(jnp.asarray(logits),
+                                       jnp.asarray(labels)))
+
+    assert abs(my_loss - ref_loss) < 1e-5 * max(1.0, abs(ref_loss))
+
+
+def test_logistic_bank_finalize_differential(rng):
+    ref_bank = ref.models.LogisticBank(8, 5)
+    my_bank = LogisticBank(dim_in=8, dim_out=5)
+
+    logits = rng.randn(2, 9, 5).astype(np.float32)
+
+    ref_probs = ref_bank.finalize_output(torch.from_numpy(logits)).numpy()
+    my_probs = np.asarray(my_bank.finalize_output(jnp.asarray(logits)))
+
+    assert_close(my_probs, ref_probs, 1e-6, 'LogisticBank.finalize_output')
+
+
+def test_softmax_groups_finalize_differential(rng):
+    groups, classes = 6, 20
+    ref_groups = ref.models.SoftmaxGroups(8, groups, classes)
+    my_groups = SoftmaxGroups(dim_in=8, dim_out=groups * classes,
+                              num_groups=groups, num_classes=classes)
+
+    logits = rng.randn(2, 9, groups * classes).astype(np.float32)
+
+    ref_tabs = ref_groups.finalize_output(torch.from_numpy(logits)).numpy()
+    my_tabs = np.asarray(my_groups.finalize_output(jnp.asarray(logits)))
+
+    np.testing.assert_array_equal(my_tabs, ref_tabs)
+
+
+# ---------------------------------------------------------------------------
+# full-model forwards with ported weights
+
+
+def _compare_onsetsframes(version, rng, tol=2e-3):
+    """Build reference O&F (v1/v2), port weights, compare forward + losses."""
+
+    dim_in, batch, frames = 48, 2, 25
+    complexity = 2
+
+    ref_profile = rtools.PianoProfile()
+    my_profile = PianoProfile()
+    dim_out = my_profile.get_range_len()
+
+    ref_cls = ref.models.OnsetsFrames if version == 1 else ref.models.OnsetsFrames2
+    ref_model = ref_cls(dim_in, ref_profile, model_complexity=complexity,
+                        detach_heads=(version == 2))
+    refcompat.randomize_torch_model(ref_model, seed=version)
+    ref_model.eval()
+
+    my_cls = OnsetsFrames if version == 1 else OnsetsFrames2
+    my_model = my_cls(dim_in=dim_in, profile=my_profile,
+                      model_complexity=complexity,
+                      detach_heads=(version == 2))
+    variables = jax.tree.map(jnp.asarray, refcompat.port_onsetsframes(ref_model))
+
+    feats = rng.randn(batch, 1, dim_in, frames).astype(np.float32)
+    multi_pitch = (rng.rand(batch, dim_out, frames) > 0.8).astype(np.float32)
+    onsets = np.asarray(rtools.multi_pitch_to_onsets(multi_pitch.copy()))
+
+    batch_np = {tools.KEY_FEATS: feats,
+                tools.KEY_MULTIPITCH: multi_pitch,
+                tools.KEY_ONSETS: onsets}
+
+    if version == 2:
+        # Offsets ground truth comes from the dataset in real use; the
+        # reference's in-post_proc fallback mixes numpy into torch tensors
+        batch_np[tools.KEY_OFFSETS] = np.asarray(
+            rtools.multi_pitch_to_offsets(multi_pitch.copy()))
+
+    # --- raw forward logits
+    with torch.no_grad():
+        ref_pre = ref_model.pre_proc(torch_batch(batch_np))
+        ref_raw = ref_model(ref_pre[rtools.KEY_FEATS])
+
+    my_pre = my_model.pre_proc(jnp_batch(batch_np))
+    my_raw = my_model.apply(variables, my_pre[tools.KEY_FEATS], train=False)
+
+    for key in ref_raw:
+        assert_close(my_raw[key], ref_raw[key].numpy(), tol,
+                     f'O&F v{version} raw {key} logits')
+
+    # --- losses through the full run_on_batch path
+    with torch.no_grad():
+        ref_out = ref_model.run_on_batch(torch_batch(batch_np))
+
+    my_out, _ = run_on_batch(my_model, variables, jnp_batch(batch_np))
+
+    for key in ref_out[rtools.KEY_LOSS]:
+        ref_loss = float(ref_out[rtools.KEY_LOSS][key])
+        my_loss = float(my_out[tools.KEY_LOSS][key])
+        assert abs(my_loss - ref_loss) < 1e-4 * max(1.0, abs(ref_loss)), \
+            f'O&F v{version} loss {key}: {my_loss} vs reference {ref_loss}'
+
+    # --- finalized (thresholded) outputs: bit-equal away from the threshold
+    for key in (tools.KEY_ONSETS, tools.KEY_MULTIPITCH):
+        mine = np.asarray(my_out[key])
+        theirs = ref_out[key].numpy()
+        mismatch = np.mean(mine != theirs)
+        assert mismatch < 1e-3, \
+            f'O&F v{version} finalized {key}: {mismatch:.2%} cells differ'
+
+
+def test_onsetsframes_v1_forward_differential(rng):
+    _compare_onsetsframes(1, rng)
+
+
+def test_onsetsframes_v2_forward_differential(rng):
+    _compare_onsetsframes(2, rng)
+
+
+def test_tabcnn_forward_differential(rng):
+    dim_in, batch, frames = 36, 2, 11
+
+    ref_profile = rtools.GuitarProfile()
+    my_profile = GuitarProfile()
+
+    ref_model = ref.models.TabCNN(dim_in, ref_profile)
+    refcompat.randomize_torch_model(ref_model, seed=7)
+    ref_model.eval()
+
+    my_model = TabCNN(dim_in=dim_in, profile=my_profile, frame_width=9)
+    variables = jax.tree.map(jnp.asarray, refcompat.port_tabcnn(ref_model))
+
+    feats = rng.randn(batch, 1, dim_in, frames).astype(np.float32)
+    tabs = rng.randint(-1, my_profile.num_pitches,
+                       (batch, my_profile.get_num_dofs(), frames))
+
+    batch_np = {tools.KEY_FEATS: feats, tools.KEY_TABLATURE: tabs}
+
+    # --- raw forward logits (through each side's own pre_proc windowing)
+    with torch.no_grad():
+        ref_pre = ref_model.pre_proc(torch_batch(batch_np))
+        ref_raw = ref_model(ref_pre[rtools.KEY_FEATS])
+
+    my_pre = my_model.pre_proc(jnp_batch(batch_np))
+    my_raw = my_model.apply(variables, my_pre[tools.KEY_FEATS], train=False)
+
+    assert_close(my_raw[tools.KEY_TABLATURE],
+                 ref_raw[rtools.KEY_TABLATURE].numpy(), 2e-3,
+                 'TabCNN raw tablature logits')
+
+    # --- loss + decoded tablature through run_on_batch
+    with torch.no_grad():
+        ref_out = ref_model.run_on_batch(torch_batch(batch_np))
+
+    my_out, _ = run_on_batch(my_model, variables, jnp_batch(batch_np))
+
+    ref_loss = float(ref_out[rtools.KEY_LOSS][rtools.KEY_LOSS_TOTAL])
+    my_loss = float(my_out[tools.KEY_LOSS][tools.KEY_LOSS_TOTAL])
+    assert abs(my_loss - ref_loss) < 1e-4 * max(1.0, abs(ref_loss))
+
+    np.testing.assert_array_equal(
+        np.asarray(my_out[tools.KEY_TABLATURE]),
+        ref_out[rtools.KEY_TABLATURE].numpy())
+
+
+# ---------------------------------------------------------------------------
+# conversion library differential (tools/utils.py)
+
+
+def _my_utils():
+    from amt_tools_tpu.tools import utils
+    return utils
+
+
+def test_notes_batched_roundtrip_differential(rng):
+    utils = _my_utils()
+    pitches, intervals = random_notes(rng, 30)
+
+    ref_batched = rtools.notes_to_batched_notes(pitches, intervals)
+    my_batched = utils.notes_to_batched_notes(pitches, intervals)
+    np.testing.assert_array_equal(my_batched, ref_batched)
+
+    ref_p, ref_i = rtools.batched_notes_to_notes(ref_batched)
+    my_p, my_i = utils.batched_notes_to_notes(my_batched)
+    np.testing.assert_array_equal(my_p, ref_p)
+    np.testing.assert_array_equal(my_i, ref_i)
+
+    # hz/midi conversions
+    np.testing.assert_allclose(
+        utils.batched_notes_to_hz(my_batched.copy()),
+        rtools.batched_notes_to_hz(ref_batched.copy()), rtol=1e-12)
+
+    # slicing (copy: the reference mutates in place)
+    ref_sliced = rtools.slice_batched_notes(ref_batched.copy(), 0.5, 2.5)
+    my_sliced = utils.slice_batched_notes(my_batched.copy(), 0.5, 2.5)
+    np.testing.assert_array_equal(my_sliced, ref_sliced)
+
+
+def test_notes_to_multi_pitch_differential(rng):
+    utils = _my_utils()
+    ref_profile, my_profile = rtools.PianoProfile(), PianoProfile()
+    times = np.arange(0, 5.0, 0.02)
+
+    for include_offsets in (True, False):
+        pitches, intervals = random_notes(rng, 40)
+        ref_mp = rtools.notes_to_multi_pitch(pitches, intervals.copy(), times,
+                                             ref_profile,
+                                             include_offsets=include_offsets)
+        my_mp = utils.notes_to_multi_pitch(pitches, intervals.copy(), times,
+                                           my_profile,
+                                           include_offsets=include_offsets)
+        np.testing.assert_array_equal(my_mp, ref_mp)
+
+
+def test_multi_pitch_to_notes_differential(rng):
+    utils = _my_utils()
+    ref_profile, my_profile = rtools.PianoProfile(), PianoProfile()
+    times = np.arange(0, 3.0, 0.02)
+
+    multi_pitch = (rng.rand(ref_profile.get_range_len(), times.size) > 0.9)
+    multi_pitch = multi_pitch.astype(np.float64)
+
+    ref_p, ref_i = rtools.multi_pitch_to_notes(multi_pitch.copy(), times,
+                                               ref_profile)
+    my_p, my_i = utils.multi_pitch_to_notes(multi_pitch.copy(), times,
+                                            my_profile)
+
+    # Canonicalize ordering before comparison (documented divergence:
+    # PARITY.md — the rebuild emits notes in (onset, pitch) order; the
+    # reference emits per-pitch sequential order)
+    def canon(p, i):
+        order = np.lexsort((p, i[:, 1], i[:, 0]))
+        return p[order], i[order]
+
+    my_pc, my_ic = canon(my_p, my_i)
+    ref_pc, ref_ic = canon(ref_p, ref_i)
+    np.testing.assert_array_equal(my_pc, ref_pc)
+    np.testing.assert_allclose(my_ic, ref_ic, rtol=0, atol=1e-9)
+
+    # with onsets provided
+    onsets = rtools.multi_pitch_to_onsets(multi_pitch.copy())
+    ref_p2, ref_i2 = rtools.multi_pitch_to_notes(multi_pitch.copy(), times,
+                                                 ref_profile, onsets=onsets.copy())
+    my_p2, my_i2 = utils.multi_pitch_to_notes(multi_pitch.copy(), times,
+                                              my_profile, onsets=onsets.copy())
+    my_pc2, my_ic2 = canon(my_p2, my_i2)
+    ref_pc2, ref_ic2 = canon(ref_p2, ref_i2)
+    np.testing.assert_array_equal(my_pc2, ref_pc2)
+    np.testing.assert_allclose(my_ic2, ref_ic2, rtol=0, atol=1e-9)
+
+
+def test_onsets_offsets_differential(rng):
+    utils = _my_utils()
+    ref_profile, my_profile = rtools.PianoProfile(), PianoProfile()
+    times = np.arange(0, 3.0, 0.02)
+
+    pitches, intervals = random_notes(rng, 25)
+    ref_on = rtools.notes_to_onsets(pitches, intervals.copy(), times,
+                                    ref_profile, ambiguity=0.05)
+    my_on = utils.notes_to_onsets(pitches, intervals.copy(), times,
+                                  my_profile, ambiguity=0.05)
+    np.testing.assert_array_equal(my_on, ref_on)
+
+    multi_pitch = (rng.rand(88, 100) > 0.85).astype(np.float64)
+    np.testing.assert_array_equal(
+        utils.multi_pitch_to_onsets(multi_pitch.copy()),
+        rtools.multi_pitch_to_onsets(multi_pitch.copy()))
+    np.testing.assert_array_equal(
+        utils.multi_pitch_to_offsets(multi_pitch.copy()),
+        rtools.multi_pitch_to_offsets(multi_pitch.copy()))
+
+
+def test_tablature_conversions_differential(rng):
+    utils = _my_utils()
+    ref_profile, my_profile = rtools.GuitarProfile(), GuitarProfile()
+    dofs = my_profile.get_num_dofs()
+    frames = 50
+
+    tabs = rng.randint(-1, my_profile.num_pitches, (dofs, frames))
+
+    ref_smp = rtools.tablature_to_stacked_multi_pitch(tabs.copy(), ref_profile)
+    my_smp = utils.tablature_to_stacked_multi_pitch(tabs.copy(), my_profile)
+    np.testing.assert_array_equal(my_smp, ref_smp)
+
+    np.testing.assert_array_equal(
+        utils.stacked_multi_pitch_to_tablature(my_smp.copy(), my_profile),
+        rtools.stacked_multi_pitch_to_tablature(ref_smp.copy(), ref_profile))
+
+    np.testing.assert_array_equal(
+        utils.stacked_multi_pitch_to_multi_pitch(my_smp.copy()),
+        rtools.stacked_multi_pitch_to_multi_pitch(ref_smp.copy()))
+
+    for silence in (True, False):
+        ref_log = rtools.tablature_to_logistic(tabs.copy(), ref_profile,
+                                               silence=silence)
+        my_log = utils.tablature_to_logistic(tabs.copy(), my_profile,
+                                             silence=silence)
+        np.testing.assert_array_equal(my_log, ref_log)
+
+    # logistic -> tablature on soft activations
+    soft = rng.rand(dofs * (my_profile.num_pitches + 1), frames)
+    np.testing.assert_array_equal(
+        utils.logistic_to_tablature(soft.copy(), my_profile, silence=True),
+        rtools.logistic_to_tablature(soft.copy(), ref_profile, silence=True))
+
+
+def test_pitch_list_conversions_differential(rng):
+    utils = _my_utils()
+    ref_profile, my_profile = rtools.PianoProfile(), PianoProfile()
+
+    multi_pitch = (rng.rand(88, 40) > 0.9).astype(np.float64)
+
+    ref_pl = rtools.multi_pitch_to_pitch_list(multi_pitch.copy(), ref_profile)
+    my_pl = utils.multi_pitch_to_pitch_list(multi_pitch.copy(), my_profile)
+
+    assert len(my_pl) == len(ref_pl)
+    for mine, theirs in zip(my_pl, ref_pl):
+        np.testing.assert_allclose(mine, theirs, rtol=1e-12)
+
+    np.testing.assert_array_equal(
+        utils.pitch_list_to_multi_pitch(my_pl, my_profile),
+        rtools.pitch_list_to_multi_pitch(ref_pl, ref_profile))
+
+
+def test_activation_utils_differential(rng):
+    utils = _my_utils()
+
+    acts = rng.rand(30, 64)
+    np.testing.assert_array_equal(
+        utils.threshold_activations(acts.copy(), 0.6),
+        rtools.threshold_activations(acts.copy(), 0.6))
+
+    for pad in (True, False):
+        framed_ref = rtools.framify_activations(acts.copy(), 9, pad=pad)
+        framed_my = utils.framify_activations(acts.copy(), 9, pad=pad)
+        np.testing.assert_array_equal(np.asarray(framed_my), framed_ref)
+
+    # inhibit_activations: the rebuild's O(nnz) row-greedy algorithm must
+    # match the reference's O(nnz^2) loop exactly
+    times = np.arange(64) * 0.02
+    sparse = (rng.rand(30, 64) > 0.8).astype(np.float64)
+    np.testing.assert_array_equal(
+        utils.inhibit_activations(sparse.copy(), times.copy(), 0.05),
+        rtools.inhibit_activations(sparse.copy(), times.copy(), 0.05))
+
+
+def test_filter_notes_differential(rng):
+    utils = _my_utils()
+    ref_profile, my_profile = rtools.PianoProfile(), PianoProfile()
+
+    # Mix of in-range and out-of-range pitches + out-of-window times
+    pitches = np.concatenate([rng.randint(21, 109, 20),
+                              np.array([5, 10, 115, 120])]).astype(np.float64)
+    onsets = rng.uniform(0, 4, pitches.size)
+    intervals = np.stack([onsets, onsets + 0.3], axis=-1)
+
+    ref_p, ref_i = rtools.filter_notes(pitches.copy(), intervals.copy(),
+                                       ref_profile, min_time=0.5, max_time=3.5)
+    my_p, my_i = utils.filter_notes(pitches.copy(), intervals.copy(),
+                                    my_profile, min_time=0.5, max_time=3.5)
+
+    np.testing.assert_array_equal(my_p, ref_p)
+    np.testing.assert_allclose(my_i, ref_i, rtol=1e-12)
