@@ -175,7 +175,14 @@ def note_segments(multi_pitch, onsets=None):
         onsets = multi_pitch_to_onsets(multi_pitch)
 
     active = jnp.logical_or(onsets > 0, multi_pitch > 0)
-    onset_impulses = multi_pitch_to_onsets(onsets.astype(jnp.float32)) > 0
+
+    # Binarize BEFORE edge detection: on a (0, 1) map rising edges can never
+    # be adjacent, which is what caps notes at 64 per 128-frame tile in
+    # notes_on_device (NOTE_TILE_CAP exactness). An unthresholded float map
+    # (e.g. 0.1 -> 0.3 -> 0.7) would otherwise produce adjacent positive
+    # diffs and could overflow a tile's compaction silently.
+    onset_binary = (onsets > 0).astype(jnp.float32)
+    onset_impulses = multi_pitch_to_onsets(onset_binary) > 0
 
     num_frames = active.shape[-1]
 

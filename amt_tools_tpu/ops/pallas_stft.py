@@ -198,6 +198,14 @@ def stft_power_pallas(audio, kernel_hi, kernel_lo, n_fft, hop_length,
     if n_fft % hop_length:
         raise ValueError('hop_length must divide n_fft for the fused kernel')
 
+    if hop_length % 128:
+        # The kernel's frame indexing promises lane alignment
+        # (pl.multiple_of(..., 128)); a misaligned hop reaching Mosaic would
+        # fail obscurely or slice wrongly. Explicit use_pallas=True bypasses
+        # pallas_stft_supported, so fail loudly here too.
+        raise ValueError('hop_length must be a multiple of 128 (TPU lane '
+                         'alignment) for the fused kernel')
+
     audio = jnp.asarray(audio)
     n_bins = n_fft // 2 + 1
 

@@ -52,9 +52,14 @@ def calibrate_activity(model, variables, data_proc, audio,
 
     params = jax.tree_util.tree_map(lambda x: x, variables['params'])
     for _, head, _ in rates:
-        dense = dict(params[head]['Dense_0'])
+        # Mutate only the bias in a copied subtree — rebuilding the head as
+        # {'Dense_0': ...} would silently drop any sibling leaves if the
+        # head ever gains another parameterized layer
+        head_tree = dict(params[head])
+        dense = dict(head_tree['Dense_0'])
         dense['bias'] = dense['bias'] - shifts[head]
-        params[head] = {'Dense_0': dense}
+        head_tree['Dense_0'] = dense
+        params[head] = head_tree
 
     out = dict(variables)
     out['params'] = params
@@ -101,27 +106,41 @@ class TranscriptionPipeline:
             from .parallel import replicate
             self.variables = replicate(self.variables, mesh)
 
-        def pipeline(variables, audio):
-            feats = data_proc.process_jax(audio)
-            batch = model.pre_proc({tools.KEY_FEATS: feats})
-            raw = model.apply(variables, batch[tools.KEY_FEATS], train=False)
+        def make_pipeline(cap):
+            def pipeline(variables, audio):
+                feats = data_proc.process_jax(audio)
+                batch = model.pre_proc({tools.KEY_FEATS: feats})
+                raw = model.apply(variables, batch[tools.KEY_FEATS],
+                                  train=False)
 
-            multi_pitch = decode.threshold(
-                jax.nn.sigmoid(jnp.swapaxes(raw[tools.KEY_MULTIPITCH],
-                                            -1, -2)), threshold)
-
-            onsets = None
-            if use_onsets and tools.KEY_ONSETS in raw:
-                onsets = decode.threshold(
-                    jax.nn.sigmoid(jnp.swapaxes(raw[tools.KEY_ONSETS],
+                multi_pitch = decode.threshold(
+                    jax.nn.sigmoid(jnp.swapaxes(raw[tools.KEY_MULTIPITCH],
                                                 -1, -2)), threshold)
 
-            return jax.vmap(
-                lambda m, o: decode.notes_on_device(m, o, capacity=capacity)
-            )(multi_pitch, onsets)
+                onsets = None
+                if use_onsets and tools.KEY_ONSETS in raw:
+                    onsets = decode.threshold(
+                        jax.nn.sigmoid(jnp.swapaxes(raw[tools.KEY_ONSETS],
+                                                    -1, -2)), threshold)
 
-        self._pipeline = jax.jit(pipeline)
+                return jax.vmap(
+                    lambda m, o: decode.notes_on_device(m, o, capacity=cap)
+                )(multi_pitch, onsets)
+
+            return jax.jit(pipeline)
+
+        self._make_pipeline = make_pipeline
+        self._pipelines = {capacity: make_pipeline(capacity)}
+        self._pipeline = self._pipelines[capacity]
         self._times_cache = {}
+
+    def _pipeline_for(self, capacity):
+        """Jitted pipeline at a given decode capacity (compiled lazily)."""
+
+        if capacity not in self._pipelines:
+            self._pipelines[capacity] = self._make_pipeline(capacity)
+
+        return self._pipelines[capacity]
 
     def _times_for(self, num_samples):
         """Frame times depend only on the clip length; cache per length.
@@ -168,17 +187,46 @@ class TranscriptionPipeline:
 
         times = self._times_for(audio.shape[-1])
 
-        return self._pipeline(self.variables, audio), times
+        return self._pipeline(self.variables, audio), times, audio
 
     def finalize(self, handle):
-        """Block on a :meth:`dispatch` handle -> per-clip note groups."""
+        """Block on a :meth:`dispatch` handle -> per-clip note groups.
 
-        buffers, times = handle
+        Clips whose true note count exceeds ``capacity`` are re-decoded at a
+        sufficient capacity (the device reports the exact count, so one
+        retry always completes) instead of warn-and-truncate — dense music
+        never silently loses notes.
+        """
+
+        buffers, times, audio = handle
         rows, on, off, counts = (np.asarray(b) for b in buffers)
 
-        return [decode.notes_from_device(rows[b], on[b], off[b], counts[b],
-                                         times, self.profile)
-                for b in range(rows.shape[0])]
+        groups = []
+        for b in range(rows.shape[0]):
+            count = int(counts[b])
+            if count > self.capacity:
+                groups.append(self._redecode_overflow(audio[b], count, times))
+            else:
+                groups.append(decode.notes_from_device(
+                    rows[b], on[b], off[b], counts[b], times, self.profile))
+
+        return groups
+
+    def _redecode_overflow(self, clip, count, times):
+        """Re-run one clip at a capacity that fits its true note count.
+
+        Capacities round up to a multiple of 1024 (at least 2x the default)
+        so retry recompiles stay rare and cached across clips.
+        """
+
+        capacity = max(2 * self.capacity, -(-count // 1024) * 1024)
+        pipeline = self._pipeline_for(capacity)
+
+        buffers = pipeline(self.variables, clip[None])
+        rows, on, off, counts = (np.asarray(b) for b in buffers)
+
+        return decode.notes_from_device(rows[0], on[0], off[0], counts[0],
+                                        times, self.profile)
 
     def __call__(self, audio):
         """Synchronous convenience: dispatch + finalize one batch."""

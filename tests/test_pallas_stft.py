@@ -184,3 +184,19 @@ def test_pallas_stft_batch_not_divisible_by_default_block():
         scale = float(jnp.max(ref))
         np.testing.assert_allclose(np.asarray(got[b]) / scale,
                                    np.asarray(ref) / scale, atol=2e-5)
+
+
+def test_misaligned_hop_fails_loudly():
+    """Explicit use_pallas=True must not reach the kernel with hop % 128 != 0."""
+
+    import pytest
+
+    from amt_tools_tpu.ops.pallas_stft import split_bank_bf16, stft_power_pallas
+    from amt_tools_tpu.ops import spectral
+
+    bank = spectral.dft_bank(512, 512, spectral.hann_window(512))
+    hi, lo = split_bank_bf16(bank)
+
+    with pytest.raises(ValueError, match='multiple of 128'):
+        stft_power_pallas(np.zeros(2048, np.float32), hi, lo,
+                          n_fft=512, hop_length=64, interpret=True)

@@ -126,3 +126,24 @@ def test_pipeline_data_parallel_matches_single_device(setup):
     for (p1, i1), (p2, i2) in zip(got, want):
         np.testing.assert_array_equal(p1, p2)
         np.testing.assert_array_equal(i1, i2)
+
+
+def test_pipeline_overflow_redecodes_completely(setup):
+    """A clip with more notes than capacity loses nothing (auto re-decode)."""
+
+    profile, mel, model, variables, audio = setup
+
+    # A near-zero threshold on untrained weights makes almost every cell
+    # active, decoding far more note fragments per clip than capacity 8
+    small = TranscriptionPipeline(model, variables, mel, capacity=8,
+                                  threshold=0.02)
+    large = TranscriptionPipeline(model, variables, mel, capacity=4096,
+                                  threshold=0.02)
+    got = small(audio)
+    want = large(audio)
+
+    assert any(len(p) > 8 for p, _ in want), 'fixture not dense enough'
+
+    for (p1, i1), (p2, i2) in zip(got, want):
+        np.testing.assert_array_equal(p1, p2)
+        np.testing.assert_array_equal(i1, i2)
