@@ -31,6 +31,30 @@ from flax import linen as nn
 __all__ = ['FastLSTM', 'FastBiLSTM', 'lengths_to_mask']
 
 
+def _match_varying(value, like):
+    """Give ``value`` the device-varying axes of ``like`` (shard_map).
+
+    Inside ``shard_map`` (e.g. the pipeline-parallel stage functions,
+    ``parallel/pp.py``) the hoisted projections are device-varying over the
+    manual mesh axes, but freshly-created zero carries are not — ``lax.scan``
+    then rejects the carry type mismatch. No-op outside shard_map.
+    """
+
+    try:
+        vma = jax.typeof(like).vma
+    except AttributeError:
+        return value
+
+    missing = tuple(sorted(set(vma) - set(jax.typeof(value).vma)))
+    if not missing:
+        return value
+
+    if hasattr(jax.lax, 'pcast'):
+        return jax.lax.pcast(value, missing, to='varying')
+
+    return jax.lax.pvary(value, missing)
+
+
 def _lstm_scan(xw, h0, c0, w_h, reverse=False, unroll=1, mask=None):
     """Scan the recurrent half of an LSTM over hoisted input projections.
 
@@ -80,6 +104,9 @@ def _lstm_scan(xw, h0, c0, w_h, reverse=False, unroll=1, mask=None):
     xw_t = jnp.swapaxes(xw, 0, 1)
 
     xs = xw_t if mask is None else (xw_t, jnp.swapaxes(mask, 0, 1))
+
+    h0 = _match_varying(h0, xw)
+    c0 = _match_varying(c0, xw)
 
     (h, c), out = jax.lax.scan(step, (h0, c0), xs, reverse=reverse,
                                unroll=unroll)
