@@ -24,7 +24,11 @@ HOME = os.path.expanduser('~')
 
 DEFAULT_DATASETS_DIR = os.path.join(HOME, 'Desktop', 'Datasets')
 
-DEFAULT_GENERATED_DIR = os.path.abspath(os.path.join(ROOT_DIR, 'generated'))
+# Overridable so tests/deployments can redirect all generated artifacts
+# (feature/GT caches, experiment runs, visualizations) off the source tree
+DEFAULT_GENERATED_DIR = os.path.abspath(
+    os.environ.get('AMT_TOOLS_TPU_GENERATED_DIR',
+                   os.path.join(ROOT_DIR, 'generated')))
 GROUND_TRUTH_DIR = 'ground_truth'
 
 DEFAULT_FEATURES_GT_DIR = os.path.join(DEFAULT_GENERATED_DIR, 'data')

@@ -15,7 +15,7 @@ from fractions import Fraction
 import numpy as np
 
 from . import utils
-from .midi import load_notes_midi, parse_midi_events
+from .midi import load_notes_midi, parse_midi_events, write_notes_midi
 from .jams_io import (load_jams, extract_duration_jams, load_duration_jams,
                       extract_stacked_notes_jams, load_stacked_notes_jams,
                       extract_notes_jams, load_notes_jams,
@@ -29,6 +29,7 @@ __all__ = [
     'resample_audio',
     'write_wav',
     'load_notes_midi',
+    'write_notes_midi',
     'parse_midi_events',
     'load_jams',
     'extract_duration_jams', 'load_duration_jams',

@@ -19,6 +19,7 @@ import numpy as np
 __all__ = [
     'parse_midi_events',
     'load_notes_midi',
+    'write_notes_midi',
 ]
 
 _DEFAULT_TEMPO = 500000  # microseconds per quarter note (120 bpm)
@@ -233,3 +234,68 @@ def load_notes_midi(midi_path, sustain_control=64):
         notes.append([onset['time'], offset['time'], onset['note'], onset['velocity']])
 
     return np.array(notes, dtype=np.float64) if notes else np.empty((0, 4))
+
+
+def _write_vlq(value):
+    """Encode a MIDI variable-length quantity."""
+
+    out = [value & 0x7F]
+    value >>= 7
+    while value:
+        out.append((value & 0x7F) | 0x80)
+        value >>= 7
+
+    return bytes(reversed(out))
+
+
+def write_notes_midi(path, batched_notes, velocities=None,
+                     ticks_per_beat=480, tempo=_DEFAULT_TEMPO):
+    """Write (N, 3) batched notes [onset, offset, pitch] as a format-0 SMF.
+
+    New capability (the reference has no MIDI writer; it only reads via
+    mido, ``tools/io.py:426-529``). Round-trips with :func:`load_notes_midi`:
+    times quantize to the tick grid (``tempo / 1e6 / ticks_per_beat`` seconds
+    — ~1 ms at the defaults). ``velocities``: per-note MIDI velocities
+    (1-127, default 64). Used by the fixture-corpus generators to build
+    MAPS/MAESTRO-layout datasets from the library's own synthesis.
+    """
+
+    batched_notes = np.asarray(batched_notes, dtype=np.float64)
+    count = batched_notes.shape[0]
+
+    if velocities is None:
+        velocities = np.full(count, 64, dtype=int)
+    velocities = np.clip(np.asarray(velocities, dtype=int), 1, 127)
+
+    sec_per_tick = tempo / 1e6 / ticks_per_beat
+
+    # (tick, order, status, pitch, velocity): offs sort before ons at a tick
+    # so a re-struck pitch re-pairs correctly
+    messages = []
+    for n in range(count):
+        onset, offset, pitch = batched_notes[n]
+        pitch = int(round(pitch))
+        on_tick = int(round(onset / sec_per_tick))
+        off_tick = max(int(round(offset / sec_per_tick)), on_tick + 1)
+        messages.append((on_tick, 1, 0x90, pitch, int(velocities[n])))
+        messages.append((off_tick, 0, 0x80, pitch, 0))
+
+    messages.sort()
+
+    body = _write_vlq(0) + b'\xff\x51\x03' + struct.pack('>I', tempo)[1:]
+    prev_tick = 0
+    for tick, _, status, pitch, velocity in messages:
+        body += _write_vlq(tick - prev_tick) + bytes([status, pitch, velocity])
+        prev_tick = tick
+    body += _write_vlq(0) + b'\xff\x2f\x00'
+
+    header = b'MThd' + struct.pack('>IHHH', 6, 0, 1, ticks_per_beat)
+    chunk = b'MTrk' + struct.pack('>I', len(body)) + body
+
+    import os
+    directory = os.path.dirname(path)
+    if directory:
+        os.makedirs(directory, exist_ok=True)
+
+    with open(path, 'wb') as f:
+        f.write(header + chunk)

@@ -67,6 +67,9 @@ def config():
     # Flag to re-acquire ground-truth data and re-calculate features
     reset_data = False
 
+    # Root of the MAPS corpus (None -> default datasets dir)
+    maps_base_dir = None
+
     # Run the model compute in bfloat16 (params/losses stay float32).
     # Recipe-scale TRAINING steps measure ~parity on v5e (they are
     # scan/bandwidth-bound, not MXU-bound); large-batch inference gains
@@ -80,7 +83,7 @@ def config():
 @ex.automain
 def onsets_frames_run(sample_rate, hop_length, num_frames, iterations,
                       checkpoints, batch_size, learning_rate, data_parallel,
-                      reset_data, bf16, seed, root_dir):
+                      reset_data, maps_base_dir, bf16, seed, root_dir):
     tools.seed_everything(seed)
 
     # Initialize the default piano profile
@@ -115,7 +118,7 @@ def onsets_frames_run(sample_rate, hop_length, num_frames, iterations,
 
     maps_cache = os.path.join(tools.DEFAULT_FEATURES_GT_DIR)
 
-    maps_train = MAPS(base_dir=None,
+    maps_train = MAPS(base_dir=maps_base_dir,
                       splits=train_splits,
                       hop_length=hop_length,
                       sample_rate=sample_rate,
@@ -137,7 +140,7 @@ def onsets_frames_run(sample_rate, hop_length, num_frames, iterations,
 
     print('Loading testing partition...')
 
-    maps_test = MAPS(base_dir=None,
+    maps_test = MAPS(base_dir=maps_base_dir,
                      splits=test_splits,
                      hop_length=hop_length,
                      sample_rate=sample_rate,

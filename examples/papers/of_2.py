@@ -78,6 +78,10 @@ def config():
     # Flag to re-acquire ground-truth data and re-calculate features
     reset_data = False
 
+    # Roots of the MAESTRO / MAPS corpora (None -> default datasets dir)
+    maestro_base_dir = None
+    maps_base_dir = None
+
     # Run the model compute in bfloat16 (params/losses stay float32).
     # Recipe-scale TRAINING steps measure ~parity on v5e (they are
     # scan/bandwidth-bound, not MXU-bound); large-batch inference gains
@@ -91,7 +95,8 @@ def config():
 @ex.automain
 def onsets_frames_2_run(sample_rate, hop_length, num_frames, iterations,
                         checkpoints, batch_size, learning_rate, warmup_steps,
-                        estimate_velocity, data_parallel, reset_data, bf16,
+                        estimate_velocity, data_parallel, reset_data,
+                        maestro_base_dir, maps_base_dir, bf16,
                         seed, root_dir):
     tools.seed_everything(seed)
 
@@ -118,7 +123,7 @@ def onsets_frames_2_run(sample_rate, hop_length, num_frames, iterations,
 
     print('Loading training partition...')
 
-    mstro_train = MAESTRO_V3(base_dir=None,
+    mstro_train = MAESTRO_V3(base_dir=maestro_base_dir,
                              splits=['train'],
                              hop_length=hop_length,
                              sample_rate=sample_rate,
@@ -137,7 +142,7 @@ def onsets_frames_2_run(sample_rate, hop_length, num_frames, iterations,
 
     print('Loading validation partition...')
 
-    mstro_val = MAESTRO_V3(base_dir=None,
+    mstro_val = MAESTRO_V3(base_dir=maestro_base_dir,
                            splits=['validation'],
                            hop_length=hop_length,
                            sample_rate=sample_rate,
@@ -149,7 +154,7 @@ def onsets_frames_2_run(sample_rate, hop_length, num_frames, iterations,
 
     print('Loading testing partitions...')
 
-    mstro_test = MAESTRO_V3(base_dir=None,
+    mstro_test = MAESTRO_V3(base_dir=maestro_base_dir,
                             splits=['test'],
                             hop_length=hop_length,
                             sample_rate=sample_rate,
@@ -160,7 +165,7 @@ def onsets_frames_2_run(sample_rate, hop_length, num_frames, iterations,
                             save_loc=data_cache)
 
     # Real-piano MAPS splits as the out-of-domain test set
-    maps_test = MAPS(base_dir=None,
+    maps_test = MAPS(base_dir=maps_base_dir,
                      splits=['ENSTDkAm', 'ENSTDkCl'],
                      hop_length=hop_length,
                      sample_rate=sample_rate,

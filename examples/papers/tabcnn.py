@@ -66,6 +66,12 @@ def config():
     # Flag to re-acquire ground-truth data and re-calculate features
     reset_data = False
 
+    # Root of the GuitarSet corpus (None -> default datasets dir)
+    gset_base_dir = None
+
+    # Number of cross-validation folds to run (paper recipe: all 6)
+    folds = 6
+
     # Run the model compute in bfloat16 (params/losses stay float32).
     # Recipe-scale TRAINING steps measure ~parity on v5e (they are
     # scan/bandwidth-bound, not MXU-bound); large-batch inference gains
@@ -79,7 +85,7 @@ def config():
 @ex.automain
 def tabcnn_cross_val(sample_rate, hop_length, num_frames, iterations,
                      checkpoints, batch_size, data_parallel, reset_data,
-                     bf16, seed, root_dir):
+                     gset_base_dir, folds, bf16, seed, root_dir):
     # Initialize the default guitar profile
     profile = tools.GuitarProfile(num_frets=19)
 
@@ -107,7 +113,7 @@ def tabcnn_cross_val(sample_rate, hop_length, num_frames, iterations,
     results = dict()
 
     # Perform each fold of cross-validation
-    for k in range(6):
+    for k in range(folds):
         tools.seed_everything(seed)
 
         validation_evaluator.set_patterns(['loss', 'pr', 're', 'f1', 'tdr', 'acc'])
@@ -117,7 +123,7 @@ def tabcnn_cross_val(sample_rate, hop_length, num_frames, iterations,
 
         print('Loading training partition...')
 
-        gset_train = GuitarSet(base_dir=None,
+        gset_train = GuitarSet(base_dir=gset_base_dir,
                                splits=train_splits,
                                hop_length=hop_length,
                                sample_rate=sample_rate,
@@ -135,7 +141,7 @@ def tabcnn_cross_val(sample_rate, hop_length, num_frames, iterations,
 
         print(f'Loading testing partition (player {test_splits[0]})...')
 
-        gset_test = GuitarSet(base_dir=None,
+        gset_test = GuitarSet(base_dir=gset_base_dir,
                               splits=test_splits,
                               hop_length=hop_length,
                               sample_rate=sample_rate,
