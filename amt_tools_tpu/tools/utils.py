@@ -724,12 +724,15 @@ def notes_to_velocity(pitches, intervals, velocities, times, profile,
     return velocity
 
 
-def extract_note_velocities(batched_notes, velocity, times, profile):
+def extract_note_velocities(batched_notes, velocity, times, profile,
+                            window=1):
     """Read each note's velocity off an (F, T) velocity map at its onset.
 
     ``batched_notes`` is (N, 3); returns an (N,) array in [0, 1]. Inverse of
     :func:`notes_to_velocity` at onset frames — used to attach predicted
-    velocities to decoded notes.
+    velocities to decoded notes. ``window`` > 1 averages the map over the
+    first ``window`` frames of each note (clipped to the note's own span),
+    pooling out per-frame prediction noise.
     """
 
     batched_notes = np.asarray(batched_notes).reshape(-1, 3)
@@ -741,12 +744,28 @@ def extract_note_velocities(batched_notes, velocity, times, profile):
 
     _times = np.append(times, times[-1] + estimate_hop_length(times))
 
+    num_frames = velocity.shape[1]
     rows = np.clip(np.round(batched_notes[:, 2] - profile.low).astype(int),
                    0, velocity.shape[0] - 1)
     frames = np.clip(np.searchsorted(_times, batched_notes[:, 0], side='right') - 1,
-                     0, velocity.shape[1] - 1)
+                     0, num_frames - 1)
 
-    return velocity[rows, frames]
+    if window <= 1:
+        return velocity[rows, frames]
+
+    # Last frame each note still occupies (its span's inclusive end)
+    ends = np.clip(np.searchsorted(_times, batched_notes[:, 1], side='right') - 1,
+                   frames, num_frames - 1)
+
+    values = np.zeros(len(batched_notes))
+    counts = np.zeros(len(batched_notes))
+    for offset in range(window):
+        cols = frames + offset
+        valid = (cols <= ends) & (cols < num_frames)
+        values += np.where(valid, velocity[rows, np.minimum(cols, num_frames - 1)], 0.0)
+        counts += valid
+
+    return values / np.maximum(counts, 1)
 
 
 def multi_pitch_to_notes(multi_pitch, times, profile, onsets=None, offsets=None):

@@ -447,13 +447,16 @@ class NoteVelocityEstimator(Estimator):
     """
 
     def __init__(self, profile, notes_key=None, velocity_key=None,
-                 estimates_key=None, save_dir=None):
+                 estimates_key=None, save_dir=None, readout_window=5):
         super().__init__(profile=profile, estimates_key=estimates_key,
                          save_dir=save_dir)
 
         self.notes_key = tools.KEY_NOTES if notes_key is None else notes_key
         self.velocity_key = tools.KEY_VELOCITY if velocity_key is None \
             else velocity_key
+        # Average the map over each note's first few frames (clipped to its
+        # span) instead of a single-frame readout — pools prediction noise
+        self.readout_window = readout_window
 
     @staticmethod
     def get_default_key():
@@ -465,7 +468,8 @@ class NoteVelocityEstimator(Estimator):
         times = tools.unpack_dict(raw_output, tools.KEY_TIMES)
 
         return tools.extract_note_velocities(batched_notes, velocity, times,
-                                             self.profile)
+                                             self.profile,
+                                             window=self.readout_window)
 
     def write(self, velocities, track):
         tag = tools.get_tag(track)

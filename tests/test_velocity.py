@@ -55,15 +55,26 @@ def test_regression_bank_masked_mse():
     reference = jnp.full((1, 3, 5), 0.75)
     mask = jnp.zeros((1, 3, 5)).at[0, 1, 2].set(1.0)
 
+    # The regression runs in the dB domain: the target for linear 0.75 at
+    # floor_db=-30 is 1 - 20*log10(0.75)/-30
+    target = 1.0 - 20.0 * np.log10(0.75) / -30.0
     loss = head.get_loss(logits, reference, mask)
-    np.testing.assert_allclose(float(loss), 0.0625, atol=1e-6)  # (0.25)^2
+    np.testing.assert_allclose(float(loss), (0.5 - target) ** 2, atol=1e-6)
 
     # Empty mask -> zero loss, no NaN
     assert float(head.get_loss(logits, reference, jnp.zeros((1, 3, 5)))) == 0.0
 
+    # Finalized outputs return to the LINEAR domain: sigmoid(0) = 0.5 in dB
+    # space -> 10^(-30 * 0.5 / 20)
     out = head.finalize_output(logits)
     assert out.shape == (1, 3, 5)
-    np.testing.assert_allclose(np.asarray(out), 0.5)
+    np.testing.assert_allclose(np.asarray(out), 10.0 ** (-0.75), rtol=1e-6)
+
+    # Log-domain transform round-trips across the representable range
+    values = jnp.linspace(0.04, 1.0, 9)
+    np.testing.assert_allclose(
+        np.asarray(head.from_log_domain(head.to_log_domain(values))),
+        np.asarray(values), rtol=1e-5)
 
 
 def test_onsetsframes2_velocity_head(profile):
