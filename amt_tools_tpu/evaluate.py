@@ -662,6 +662,13 @@ class VelocityEvaluator(Evaluator):
     cells where the reference is active: mean absolute error (in normalized
     [0, 1] velocity) and the fraction within ``tolerance`` (default 0.1,
     i.e. ~13 MIDI velocity steps).
+
+    Also reports ``mae_rescaled`` / ``within_tolerance_rescaled`` after a
+    per-track least-squares linear fit of the estimates onto the reference —
+    the normalization ``mir_eval.transcription_velocity`` applies before
+    scoring (per-track loudness normalization makes absolute velocity
+    recoverable only up to a per-track gain, so the field's standard metric
+    removes that gain before applying the tolerance).
     """
 
     def __init__(self, unpack_key=None, results_key=None, save_dir=None,
@@ -688,7 +695,17 @@ class VelocityEvaluator(Evaluator):
             # Nothing to score on a silent track — contribute nothing
             return {}
 
-        errors = np.abs(estimated[active] - reference[active])
+        est, ref = estimated[active], reference[active]
+        errors = np.abs(est - ref)
+
+        # Per-track LS rescale (slope + offset), as mir_eval's
+        # transcription_velocity metrics do before applying the tolerance
+        design = np.stack([est, np.ones_like(est)], axis=1)
+        coef, *_ = np.linalg.lstsq(design, ref, rcond=None)
+        rescaled_errors = np.abs(design @ coef - ref)
 
         return {'mae': float(np.mean(errors)),
-                'within_tolerance': float(np.mean(errors <= self.tolerance))}
+                'within_tolerance': float(np.mean(errors <= self.tolerance)),
+                'mae_rescaled': float(np.mean(rescaled_errors)),
+                'within_tolerance_rescaled':
+                    float(np.mean(rescaled_errors <= self.tolerance))}

@@ -198,6 +198,8 @@ def train(model, train_loader, optimizer, iterations, checkpoints=0,
     additions: ``state`` (a prepared TrainState), ``rng`` (seed key),
     ``mesh`` (data-parallel device mesh), ``writer`` (any object with
     ``add_scalar``; defaults to tensorboardX if available, else a no-op).
+    ``log_dir=None`` runs ephemerally: no scalar logs, no checkpoint saves,
+    no resume scan — useful for benchmarks and throwaway fits.
 
     ``scheduler`` mirrors the reference's per-iteration LR scheduler
     (``train.py:143-145``): pass an optax-style schedule — a callable
@@ -232,10 +234,14 @@ def train(model, train_loader, optimizer, iterations, checkpoints=0,
                 'optimizer yourself and pass scheduler=None.')
         optimizer = optax.chain(optimizer, optax.scale_by_schedule(scheduler))
 
-    os.makedirs(log_dir, exist_ok=True)
+    # log_dir=None: ephemeral run — no scalar logging, no checkpoint saves,
+    # no resume scan (checkpoints would have nowhere to live)
+    if log_dir is not None:
+        os.makedirs(log_dir, exist_ok=True)
 
     if writer is None:
-        writer = _make_writer(log_dir)
+        writer = _make_writer(log_dir) if log_dir is not None \
+            else _NullWriter()
 
     # Peek one batch to initialize state. The peeked iterator is reused for
     # the first pass so no batch is dropped and the loader's shuffle RNG is
@@ -259,7 +265,7 @@ def train(model, train_loader, optimizer, iterations, checkpoints=0,
 
     start_iter = 0
 
-    if resume:
+    if resume and log_dir is not None:
         path, ckpt_iter = latest_checkpoint(log_dir, max_iteration=iterations)
         if path is not None:
             state = load_checkpoint(path, jax.device_get(state))
@@ -311,7 +317,8 @@ def train(model, train_loader, optimizer, iterations, checkpoints=0,
         done_training = (global_iter + 1) == iterations
 
         if checkpoint or done_training:
-            save_checkpoint(state, log_dir, global_iter + 1)
+            if log_dir is not None:
+                save_checkpoint(state, log_dir, global_iter + 1)
 
             if vis_fnc is not None:
                 vis_fnc(model, state, global_iter + 1)

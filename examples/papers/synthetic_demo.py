@@ -186,6 +186,10 @@ def synthetic_demo(sample_rate, hop_length, num_frames, iterations,
         print(f"held-out velocity MAE: {results[tools.KEY_VELOCITY]['mae']:.3f}")
         print(f"held-out velocity within 0.1: "
               f"{results[tools.KEY_VELOCITY]['within_tolerance']:.3f}")
+        print(f"held-out velocity MAE (rescaled): "
+              f"{results[tools.KEY_VELOCITY]['mae_rescaled']:.3f}")
+        print(f"held-out velocity within 0.1 (rescaled): "
+              f"{results[tools.KEY_VELOCITY]['within_tolerance_rescaled']:.3f}")
 
     ex.log_scalar('Final Results', results, 0)
 

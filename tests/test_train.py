@@ -84,6 +84,19 @@ def test_train_loop_and_resume(setup, tmp_path):
     assert it2 == 6
 
 
+def test_train_loop_ephemeral(setup, tmp_path, monkeypatch):
+    """log_dir=None trains without writing logs or checkpoints anywhere."""
+
+    model, batch = setup
+    monkeypatch.chdir(tmp_path)
+
+    state = train(model, _Loader([batch]), optax.adam(1e-3), iterations=2,
+                  checkpoints=1, log_dir=None, rng=jax.random.PRNGKey(0))
+
+    assert int(state.step) == 2
+    assert list(tmp_path.iterdir()) == []  # nothing written
+
+
 def test_checkpoint_roundtrip(setup, tmp_path):
     model, batch = setup
     optimizer = optax.adam(1e-3)

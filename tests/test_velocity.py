@@ -155,6 +155,27 @@ def test_velocity_evaluator():
     np.testing.assert_allclose(results['mae'], 0.125)
     np.testing.assert_allclose(results['within_tolerance'], 0.5)
 
+    # Per-track LS rescale (mir_eval transcription_velocity normalization):
+    # two points always admit an exact linear fit
+    np.testing.assert_allclose(results['mae_rescaled'], 0.0, atol=1e-9)
+    np.testing.assert_allclose(results['within_tolerance_rescaled'], 1.0)
+
+    # With three collinear-breaking points the fit no longer collapses to
+    # zero error. The LS family contains the identity, so the rescaled fit
+    # can never lose in SQUARED error (MAE may tick up; LS optimizes SSE)
+    reference[0, 0] = 0.5
+    estimated[0, 0] = 0.5
+    results = evaluator.evaluate(estimated, reference)
+
+    est = np.array([0.5, 0.75, 0.6])
+    ref = np.array([0.5, 0.8, 0.4])
+    design = np.stack([est, np.ones_like(est)], axis=1)
+    coef, *_ = np.linalg.lstsq(design, ref, rcond=None)
+    assert (np.sum((design @ coef - ref) ** 2)
+            <= np.sum((est - ref) ** 2) + 1e-9)
+    np.testing.assert_allclose(results['mae_rescaled'],
+                               np.mean(np.abs(design @ coef - ref)))
+
     # No active reference cells -> contributes nothing (no fake perfect
     # score inflating averages), and no NaNs
     empty = evaluator.evaluate(np.zeros((2, 2)), np.zeros((2, 2)))
