@@ -9,6 +9,18 @@ parallelism) rather than translated from the reference's PyTorch patterns.
 
 __version__ = '0.1.0'
 
+import os as _os
+
+if _os.environ.get('AMT_TOOLS_TPU_PLATFORM'):
+    # Robust platform pinning for subprocesses (example scripts in CI,
+    # dataset workers): some TPU plugin environments re-export
+    # ``JAX_PLATFORMS`` from an interpreter-startup hook, so the standard
+    # env var silently loses. ``jax.config`` wins over both.
+    import jax as _jax
+
+    _jax.config.update('jax_platforms',
+                       _os.environ['AMT_TOOLS_TPU_PLATFORM'])
+
 from . import tools
 from . import ops
 from . import features

@@ -57,8 +57,12 @@ class TranscriptionModel(nn.Module):
     # throughput on TPU for inference/training with f32 loss accumulation
     dtype: Any = None
     # Rematerialize the acoustic stacks in the backward pass (jax.checkpoint):
-    # trades recompute for activation memory on long training crops
-    remat: bool = False
+    # trades recompute for activation memory on long training crops.
+    # True checkpoints each whole conv stack (measured speed winner at the
+    # HBM-pressured batch sizes); 'blocks' checkpoints every conv block
+    # separately — slower, but roughly halves temporary memory again for
+    # long-crop/large-batch steps that do not fit otherwise (RESULTS.md).
+    remat: Any = False
 
     @nn.nowrap
     def pre_proc(self, batch):

@@ -254,14 +254,14 @@ def bench_train():
     dim_out = profile.get_range_len()
     peak = profiling.peak_flops(jax.devices()[0])
 
-    def one_config(batch_size, bf16, steps=100):
+    def one_config(batch_size, bf16, steps=100, remat=False):
         # NOTE: timings MUST amortize over a long step horizon. Through the
         # axon tunnel, short windows (and even per-step block_until_ready)
         # report impossibly fast times (>100% MFU) from queue pipelining;
         # 100 chained donated steps measured end-to-end give the true rate
         # (cross-checked against loss-decreasing 200-step runs).
         model = OnsetsFrames2(dim_in=229, profile=profile,
-                              model_complexity=3,
+                              model_complexity=3, remat=remat,
                               dtype=jnp.bfloat16 if bf16 else None)
         optimizer = optax.adam(6e-4)
 
@@ -297,7 +297,8 @@ def bench_train():
 
         steps_per_sec = steps / elapsed
         mfu = flops * steps_per_sec / peak if peak else 0.0
-        _log(f'train batch {batch_size:3d} {"bf16" if bf16 else "f32 "}: '
+        _log(f'train batch {batch_size:3d} {"bf16" if bf16 else "f32 "}'
+             f'{" remat" if remat else ""}: '
              f'{steps_per_sec:6.2f} steps/s, '
              f'{steps_per_sec * batch_size * num_frames * 512 / 16000:9.1f}x RT, '
              f'MFU {mfu * 100:5.2f}%')
@@ -320,6 +321,22 @@ def bench_train():
         except Exception as exc:
             _log(f'batch {batch_size} failed ({type(exc).__name__}); backing off')
 
+    # Rematerialized batch 32: jax.checkpoint on the acoustic conv stacks
+    # trades one recompute for their activation memory. Measured sweet spot
+    # on the 16 GB chip — batch 48+ crosses the HBM cliff even with remat
+    # (per-block checkpointing fits but is slower; see RESULTS.md round 3)
+    remat_sps = remat_mfu = 0.0
+    remat_batch = 0
+    for batch_size in (32, 16):
+        try:
+            remat_sps, remat_mfu = one_config(batch_size, bf16=True,
+                                              remat=True, steps=60)
+            remat_batch = batch_size
+            break
+        except Exception as exc:
+            _log(f'remat batch {batch_size} failed ({type(exc).__name__}); '
+                 f'backing off')
+
     result = {
         'metric': 'train_steps_per_sec',
         'value': round(recipe_sps, 3),
@@ -331,6 +348,9 @@ def bench_train():
         'saturating_batch': sat_batch,
         'saturating_steps_per_sec': round(sat_sps, 3),
         'saturating_mfu_pct': round(sat_mfu * 100, 2),
+        'remat_batch': remat_batch,
+        'remat_steps_per_sec': round(remat_sps, 3),
+        'remat_mfu_pct': round(remat_mfu * 100, 2),
     }
     print(json.dumps(result))
 

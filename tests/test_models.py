@@ -228,3 +228,62 @@ def test_tabcnn_gradients_flow(key):
     assert all(np.all(np.isfinite(np.asarray(g))) for g in leaves)
     total_norm = sum(float(jnp.sum(jnp.abs(g))) for g in leaves)
     assert total_norm > 0
+
+
+@pytest.mark.parametrize('remat', [True, 'blocks'])
+def test_remat_variants_are_bit_exact(remat):
+    """remat=True / remat='blocks' change memory, never math.
+
+    Whole-stack remat wraps each acoustic conv stack in jax.checkpoint;
+    'blocks' checkpoints each conv block via method-level nn.remat, which
+    must keep the parameter tree identical (Conv_0/BatchNorm_0/... names
+    come from the shared compact scope). One full Adam step must produce
+    bit-identical parameters vs the unrematted model.
+    """
+
+    import optax
+
+    from amt_tools_tpu.models import OnsetsFrames2
+    from amt_tools_tpu.train import init_state, make_train_step
+
+    profile = PianoProfile()
+    batch = _of_batch(profile)
+    batch[tools.KEY_ONSETS] = batch[tools.KEY_MULTIPITCH]
+
+    def one_step(remat_flag):
+        model = OnsetsFrames2(dim_in=72, profile=profile,
+                              model_complexity=2, remat=remat_flag)
+        optimizer = optax.adam(6e-4)
+        state = init_state(model, optimizer, batch, jax.random.PRNGKey(0))
+        step = make_train_step(model, optimizer)
+        state, loss = step(state, dict(batch))
+        return state.params, float(loss[tools.KEY_LOSS_TOTAL])
+
+    base_params, base_loss = one_step(False)
+    params, loss = one_step(remat)
+
+    assert loss == base_loss
+
+    base_leaves, base_tree = jax.tree_util.tree_flatten(base_params)
+    leaves, tree = jax.tree_util.tree_flatten(params)
+    assert tree == base_tree
+
+    for a, b in zip(base_leaves, leaves):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_blocks_remat_rejects_fused_heads():
+    from amt_tools_tpu.models import OnsetsFrames2
+    from amt_tools_tpu.train import init_state
+
+    import optax
+
+    profile = PianoProfile()
+    batch = _of_batch(profile)
+    batch[tools.KEY_ONSETS] = batch[tools.KEY_MULTIPITCH]
+
+    model = OnsetsFrames2(dim_in=72, profile=profile, model_complexity=2,
+                          remat='blocks', fused_heads=True)
+
+    with pytest.raises(ValueError, match='blocks'):
+        init_state(model, optax.adam(6e-4), batch, jax.random.PRNGKey(0))

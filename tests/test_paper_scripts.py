@@ -71,6 +71,10 @@ def script_runs(tmp_path_factory):
 
         env = dict(os.environ,
                    JAX_PLATFORMS='cpu',
+                   # JAX_PLATFORMS alone is clobbered by TPU-plugin
+                   # interpreter hooks; the package honors this override
+                   # via jax.config (see amt_tools_tpu/__init__.py)
+                   AMT_TOOLS_TPU_PLATFORM='cpu',
                    AMT_TOOLS_TPU_GENERATED_DIR=str(generated),
                    # The train-step CPU compile dominates these runs
                    # (minutes); the persistent cache makes repeats cheap
