@@ -63,6 +63,10 @@ class TranscriptionModel(nn.Module):
     # separately — slower, but roughly halves temporary memory again for
     # long-crop/large-batch steps that do not fit otherwise (RESULTS.md).
     remat: Any = False
+    # Serving-only: run the acoustic conv stacks as int8 MXU contractions
+    # (ops.qconv.Int8Conv; v5e executes int8 at 2x the bf16 MXU rate).
+    # Parameter tree and checkpoints are unchanged; do not train with this.
+    quant_acoustic: bool = False
 
     @nn.nowrap
     def pre_proc(self, batch):

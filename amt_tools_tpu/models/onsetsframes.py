@@ -26,6 +26,7 @@ from flax import linen as nn
 
 from .. import tools
 from ..ops.lstm import FastLSTM, FastBiLSTM
+from ..ops.qconv import Int8Conv, Int8Dense
 from .common import TranscriptionModel, LogisticBank, RegressionBank
 
 __all__ = [
@@ -60,12 +61,29 @@ class AcousticModel(nn.Module):
     # (measured: 6.27 -> 5.55 GB for one batch-32 stack) — whereas per-block
     # checkpoints bound the live set to one block's working set at a time.
     block_remat: bool = False
+    # Serving-only: run the convs as int8 MXU contractions (ops.qconv).
+    # The parameter tree is unchanged (Int8Conv declares kernel/bias under
+    # the same Conv_N names), so float checkpoints load as-is.
+    quant: bool = False
+
+    def _conv(self, features, name):
+        """The conv for one block: float ``nn.Conv`` or int8 drop-in.
+
+        Names are pinned explicitly so both variants produce the exact
+        parameter tree auto-naming gives the float stack (Conv_0/1/2).
+        """
+
+        if self.quant:
+            return Int8Conv(features, (3, 3), dtype=self.dtype, name=name)
+
+        return nn.Conv(features, (3, 3), padding='SAME', dtype=self.dtype,
+                       name=name)
 
     def _block1(self, x, mask, train):
         """conv + BN + ReLU (masked)."""
 
         nf1 = 16 * self.model_complexity
-        x = nn.Conv(nf1, (3, 3), padding='SAME', dtype=self.dtype)(x)
+        x = self._conv(nf1, 'Conv_0')(x)
         x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(x)
         x = nn.relu(x)
         return x if mask is None else x * mask
@@ -74,7 +92,7 @@ class AcousticModel(nn.Module):
         """conv + BN + ReLU + 1x2 freq-pool + dropout (masked)."""
 
         nf1 = 16 * self.model_complexity
-        x = nn.Conv(nf1, (3, 3), padding='SAME', dtype=self.dtype)(x)
+        x = self._conv(nf1, 'Conv_1')(x)
         x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (1, 2), strides=(1, 2))
@@ -85,7 +103,7 @@ class AcousticModel(nn.Module):
         """conv + BN + ReLU + 1x2 freq-pool + dropout (masked)."""
 
         nf3 = 32 * self.model_complexity
-        x = nn.Conv(nf3, (3, 3), padding='SAME', dtype=self.dtype)(x)
+        x = self._conv(nf3, 'Conv_2')(x)
         x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (1, 2), strides=(1, 2))
@@ -124,7 +142,10 @@ class AcousticModel(nn.Module):
         # (B, T, F/4, nf3) -> (B, T, F/4 * nf3)
         x = x.reshape(x.shape[:-2] + (-1,))
 
-        x = nn.Dense(self.dim_out, dtype=self.dtype)(x)
+        if self.quant:
+            x = Int8Dense(self.dim_out, dtype=self.dtype, name='Dense_0')(x)
+        else:
+            x = nn.Dense(self.dim_out, dtype=self.dtype, name='Dense_0')(x)
         x = nn.Dropout(0.50, deterministic=not train)(x)
 
         return x
@@ -469,6 +490,9 @@ class OnsetsFrames(TranscriptionModel):
         """Acoustic stacks: one grouped module or per-head modules."""
 
         if self.fused_heads:
+            if self.quant_acoustic:
+                raise ValueError('quant_acoustic is only supported with '
+                                 'per-head acoustic stacks (fused_heads=False)')
             Grouped = _grouped_model_cls(self.remat)
             self.grouped_am = Grouped(self.dim_in, self.dim_am,
                                       len(self.head_names), self.in_channels,
@@ -479,7 +503,8 @@ class OnsetsFrames(TranscriptionModel):
                 setattr(self, f'{name}_am',
                         AcousticModel(self.dim_in, self.dim_am,
                                       self.in_channels, self.model_complexity,
-                                      dtype=self.dtype))
+                                      dtype=self.dtype,
+                                      quant=self.quant_acoustic))
 
     def _embeddings(self, feats, train, lengths):
         """Per-head acoustic embeddings keyed by head name."""

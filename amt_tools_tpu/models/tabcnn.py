@@ -14,6 +14,7 @@ from flax import linen as nn
 
 from .. import tools
 from ..ops import frames as frame_ops
+from ..ops.qconv import Int8Conv, Int8Dense
 from .common import TranscriptionModel, SoftmaxGroups
 
 __all__ = ['TabCNN']
@@ -58,10 +59,18 @@ class TabCNN(TranscriptionModel):
         nf1 = 32 * self.model_complexity
         nf2 = 64 * self.model_complexity
 
-        self.conv1 = nn.Conv(nf1, (3, 3), padding='VALID')
-        self.conv2 = nn.Conv(nf2, (3, 3), padding='VALID')
-        self.conv3 = nn.Conv(nf2, (3, 3), padding='VALID')
-        self.dense1 = nn.Dense(128 * self.model_complexity)
+        if self.quant_acoustic:
+            # Serving-only int8 MXU path; identical parameter tree (the
+            # attribute names pin the checkpoint layout), see ops/qconv.py
+            self.conv1 = Int8Conv(nf1, (3, 3), padding='VALID')
+            self.conv2 = Int8Conv(nf2, (3, 3), padding='VALID')
+            self.conv3 = Int8Conv(nf2, (3, 3), padding='VALID')
+            self.dense1 = Int8Dense(128 * self.model_complexity)
+        else:
+            self.conv1 = nn.Conv(nf1, (3, 3), padding='VALID')
+            self.conv2 = nn.Conv(nf2, (3, 3), padding='VALID')
+            self.conv3 = nn.Conv(nf2, (3, 3), padding='VALID')
+            self.dense1 = nn.Dense(128 * self.model_complexity)
         self.dropout1 = nn.Dropout(0.25)
         self.dropout2 = nn.Dropout(0.50)
         self.tablature_out = SoftmaxGroups(

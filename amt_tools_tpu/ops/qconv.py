@@ -1,0 +1,133 @@
+"""Int8 convolution for serving: run the MXU at its integer rate.
+
+TPU v5e executes int8 x int8 -> int32 contractions at twice the bf16 MXU
+rate. The acoustic conv stacks dominate the serving forward (~236 ms of a
+332 ms batch at ~43% bf16 MFU, RESULTS.md breakdown), so quantizing just
+those convs attacks the single largest line item in the pipeline.
+
+Design (all in-graph, no offline calibration step):
+
+- **Weights**: per-output-channel symmetric int8, scales computed from the
+  float32 parameters inside the forward. The parameter tree is IDENTICAL
+  to the float model's (``kernel``/``bias`` under the same module names),
+  so any trained checkpoint serves quantized without conversion; XLA
+  hoists the (tiny) weight-quantization ops out of the conv hot path.
+- **Activations**: per-tensor symmetric int8 with a dynamic scale
+  (``max|x| / 127`` over the batch). Dynamic quantization costs one global
+  reduce per conv — negligible next to the conv itself — and adapts to
+  any input distribution without calibration data. Inputs here are
+  dB-scaled features in [0, 1] and post-ReLU activations, so the dynamic
+  range is tame.
+- **Accumulation**: int32 (``preferred_element_type``), dequantized to the
+  module's compute dtype with the fused ``s_x * s_w`` rescale + bias.
+
+Quantization error is bounded by half an LSB in each operand: the
+activation LSB is ``max|x|/127`` and the weight LSB per channel is
+``max|w_c|/127``. The reference has no quantized path (its inference is
+f32 torch, ``amt_tools/inference.py:12-47``); this is a beyond-parity
+serving capability, opt-in via ``TranscriptionModel.quant_acoustic``.
+"""
+
+from typing import Any, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+__all__ = ['Int8Conv', 'Int8Dense', 'quantize_symmetric']
+
+
+def quantize_symmetric(x, axis=None):
+    """Symmetric int8 quantization of ``x``.
+
+    Returns ``(q, scale)`` with ``q = round(x / scale)`` clipped to
+    [-127, 127] as int8, where ``scale = max|x| / 127`` reduced over all
+    axes except ``axis`` (None = per-tensor).
+    """
+
+    xf = x.astype(jnp.float32)
+
+    if axis is None:
+        amax = jnp.max(jnp.abs(xf))
+    else:
+        axes = tuple(i for i in range(x.ndim) if i != axis % x.ndim)
+        amax = jnp.max(jnp.abs(xf), axis=axes)
+
+    scale = jnp.maximum(amax / 127.0, jnp.finfo(jnp.float32).tiny)
+    q = jnp.clip(jnp.round(xf / scale), -127, 127).astype(jnp.int8)
+
+    return q, scale
+
+
+class Int8Conv(nn.Module):
+    """Drop-in ``nn.Conv`` replacement computing the contraction in int8.
+
+    Declares the same parameters (``kernel``: (kh, kw, in, out) with
+    lecun-normal init, ``bias``: (out,) zeros) under the same names as
+    ``nn.Conv``, so a module tree using ``Int8Conv(name='Conv_0')`` loads
+    float checkpoints unchanged. Stride is fixed at 1 — the only stride
+    the models' conv stacks use.
+    """
+
+    features: int
+    kernel_size: Tuple[int, int] = (3, 3)
+    padding: str = 'SAME'
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        in_features = x.shape[-1]
+        kernel = self.param('kernel', nn.initializers.lecun_normal(),
+                            tuple(self.kernel_size) + (in_features,
+                                                       self.features),
+                            jnp.float32)
+        bias = self.param('bias', nn.initializers.zeros, (self.features,),
+                          jnp.float32)
+
+        # Per-output-channel weight scales (axis -1 of HWIO)
+        w8, s_w = quantize_symmetric(kernel, axis=-1)
+        # Per-tensor dynamic activation scale
+        x8, s_x = quantize_symmetric(x)
+
+        dn = jax.lax.conv_dimension_numbers(
+            x.shape, w8.shape, ('NHWC', 'HWIO', 'NHWC'))
+        acc = jax.lax.conv_general_dilated(
+            x8, w8, window_strides=(1, 1), padding=self.padding,
+            dimension_numbers=dn, preferred_element_type=jnp.int32)
+
+        out = acc.astype(jnp.float32) * (s_x * s_w) + bias
+        out_dtype = self.dtype if self.dtype is not None else jnp.float32
+
+        return out.astype(out_dtype)
+
+
+class Int8Dense(nn.Module):
+    """Drop-in ``nn.Dense`` replacement computing the matmul in int8.
+
+    Same parameters/names as ``nn.Dense`` (``kernel``: (in, out),
+    ``bias``: (out,)); per-output-column weight scales, per-tensor dynamic
+    activation scale, int32 accumulation.
+    """
+
+    features: int
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        in_features = x.shape[-1]
+        kernel = self.param('kernel', nn.initializers.lecun_normal(),
+                            (in_features, self.features), jnp.float32)
+        bias = self.param('bias', nn.initializers.zeros, (self.features,),
+                          jnp.float32)
+
+        w8, s_w = quantize_symmetric(kernel, axis=-1)
+        x8, s_x = quantize_symmetric(x)
+
+        acc = jax.lax.dot_general(
+            x8, w8, (((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+
+        out = acc.astype(jnp.float32) * (s_x * s_w) + bias
+        out_dtype = self.dtype if self.dtype is not None else jnp.float32
+
+        return out.astype(out_dtype)

@@ -39,7 +39,7 @@ def _log(msg):
 
 
 
-def build_pipeline(batch_size, clip_seconds=60.0, complexity=3):
+def build_pipeline(batch_size, clip_seconds=60.0, complexity=3, quant=False):
     import jax
     import jax.numpy as jnp
 
@@ -57,7 +57,7 @@ def build_pipeline(batch_size, clip_seconds=60.0, complexity=3):
     # 1.39x on the full forward on v5e); losses/decode stay f32-accurate
     model = OnsetsFrames2(dim_in=229, profile=profile,
                           model_complexity=complexity,
-                          dtype=jnp.bfloat16)
+                          dtype=jnp.bfloat16, quant_acoustic=quant)
 
     rng = np.random.RandomState(0)
     clips = []
@@ -108,7 +108,7 @@ def measure(pipeline, audio, runs=8):
     return elapsed, notes
 
 
-def main():
+def main(quant=False):
     import jax
 
     cache_dir = os.path.expanduser('~/.cache/jax')
@@ -121,7 +121,7 @@ def main():
     batch_size, clip_seconds, runs = 128, 60.0, 8
 
     _log('building pipeline (initializing parameters)...')
-    pipeline, audio = build_pipeline(batch_size, clip_seconds)
+    pipeline, audio = build_pipeline(batch_size, clip_seconds, quant=quant)
 
     from amt_tools_tpu import profiling
 
@@ -157,7 +157,8 @@ def main():
          f'TFLOP/s (bf16), MFU {mfu * 100:.2f}%')
 
     result = {
-        'metric': 'full_pipeline_realtime_factor',
+        'metric': ('full_pipeline_realtime_factor_int8' if quant
+                   else 'full_pipeline_realtime_factor'),
         'value': round(rtf, 2),
         'unit': 'audio-sec/sec/chip',
         'vs_baseline': round(rtf / 100.0, 3),
@@ -165,6 +166,30 @@ def main():
         'achieved_tflops': round(achieved_flops / 1e12, 2),
         'notes_per_batch': total_notes,
     }
+
+    if quant:
+        # Honesty companion: how well do the int8 pipeline's decoded notes
+        # agree with the bf16 pipeline's on the same audio?
+        _log('building bf16 reference pipeline for agreement check...')
+        ref_pipeline, _ = build_pipeline(batch_size, clip_seconds)
+        ref_notes = ref_pipeline(audio)
+
+        matched = total_ref = total_q = 0
+        for (p_q, i_q), (p_r, i_r) in zip(notes, ref_notes):
+            set_q = {(int(p), round(float(on), 4), round(float(off), 4))
+                     for p, (on, off) in zip(p_q, i_q)}
+            set_r = {(int(p), round(float(on), 4), round(float(off), 4))
+                     for p, (on, off) in zip(p_r, i_r)}
+            matched += len(set_q & set_r)
+            total_q += len(set_q)
+            total_ref += len(set_r)
+        precision = matched / max(1, total_q)
+        recall = matched / max(1, total_ref)
+        f1 = 2 * precision * recall / max(1e-12, precision + recall)
+        _log(f'int8 vs bf16 note agreement: P {precision:.4f} '
+             f'R {recall:.4f} F1 {f1:.4f} ({total_q} vs {total_ref} notes)')
+        result['note_agreement_f1_vs_bf16'] = round(f1, 4)
+
     print(json.dumps(result))
 
 
@@ -603,5 +628,7 @@ if __name__ == '__main__':
         bench_streaming()
     elif len(sys.argv) > 1 and sys.argv[1] == 'trained':
         bench_trained()
+    elif len(sys.argv) > 1 and sys.argv[1] == 'int8':
+        main(quant=True)
     else:
         main()

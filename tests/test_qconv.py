@@ -1,0 +1,136 @@
+"""Int8 serving quantization: numerics, checkpoint compatibility, wiring."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from amt_tools_tpu import tools
+from amt_tools_tpu.ops.qconv import Int8Conv, Int8Dense, quantize_symmetric
+from amt_tools_tpu.tools.instrument import PianoProfile
+from amt_tools_tpu.models import OnsetsFrames2, run_on_batch
+
+
+def test_quantize_symmetric_round_trip():
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(4, 7, 5).astype(np.float32)) * 3.0
+
+    q, scale = quantize_symmetric(x)
+    assert q.dtype == jnp.int8
+    err = np.abs(np.asarray(q, np.float32) * float(scale) - np.asarray(x))
+    # Round-to-nearest: error bounded by half an LSB
+    assert err.max() <= float(scale) / 2 + 1e-7
+
+    # Per-channel (last axis): each channel's max hits ~127
+    qc, sc = quantize_symmetric(x, axis=-1)
+    assert sc.shape == (5,)
+    amax = np.abs(np.asarray(x)).max(axis=(0, 1))
+    np.testing.assert_allclose(np.asarray(sc), amax / 127.0, rtol=1e-6)
+
+
+@pytest.mark.parametrize('module_pair', [
+    (Int8Conv(features=12, kernel_size=(3, 3)),
+     nn.Conv(12, (3, 3), padding='SAME')),
+    (Int8Dense(features=12), nn.Dense(12)),
+])
+def test_int8_matches_float_within_lsb_bound(module_pair):
+    qmod, fmod = module_pair
+    rng = np.random.RandomState(1)
+
+    shape = (2, 9, 16, 8) if isinstance(qmod, Int8Conv) else (2, 9, 8)
+    x = jnp.asarray(rng.rand(*shape).astype(np.float32))  # post-ReLU-like
+
+    variables = fmod.init(jax.random.PRNGKey(0), x)
+    y_f = fmod.apply(variables, x)
+    # Same params apply through the int8 module (identical tree)
+    y_q = qmod.apply(variables, x)
+
+    assert y_q.shape == y_f.shape
+    # Error bound: each operand off by <= LSB/2; the products' errors sum
+    # over the contraction. Use a generous relative-scale bound.
+    tol = 2.0 * float(jnp.max(jnp.abs(y_f))) / 127.0
+    assert float(jnp.max(jnp.abs(y_q - y_f))) < tol
+
+
+def test_quant_model_param_tree_identical_and_loads_float_checkpoint():
+    profile = PianoProfile()
+    kw = dict(dim_in=72, profile=profile, model_complexity=2)
+
+    m_f = OnsetsFrames2(**kw)
+    m_q = OnsetsFrames2(quant_acoustic=True, **kw)
+
+    rng = np.random.RandomState(0)
+    dim_out = profile.get_range_len()
+    batch = {
+        tools.KEY_FEATS: rng.rand(2, 1, 72, 16).astype(np.float32),
+        tools.KEY_MULTIPITCH: (rng.rand(2, dim_out, 16) > 0.9
+                               ).astype(np.float32),
+    }
+
+    pre = m_f.pre_proc(dict(batch))
+    rngs = {'params': jax.random.PRNGKey(0), 'dropout': jax.random.PRNGKey(1)}
+    v_f = m_f.init(rngs, pre[tools.KEY_FEATS], train=False)
+    v_q = m_q.init(rngs, pre[tools.KEY_FEATS], train=False)
+
+    # Identical trees: a float checkpoint serves quantized without conversion
+    tree_f = jax.tree_util.tree_structure(v_f)
+    tree_q = jax.tree_util.tree_structure(v_q)
+    assert tree_f == tree_q
+
+    out_f, _ = run_on_batch(m_f, v_f, batch, train=False)
+    out_q, _ = run_on_batch(m_q, v_f, batch, train=False)
+
+    # Activation maps mostly agree (quantization perturbs logits near the
+    # threshold only)
+    mp_f = np.asarray(out_f[tools.KEY_MULTIPITCH])
+    mp_q = np.asarray(out_q[tools.KEY_MULTIPITCH])
+    assert mp_f.shape == mp_q.shape
+    assert np.mean(np.abs(mp_f - mp_q)) < 0.05
+
+
+def test_quant_acoustic_rejects_fused_heads():
+    profile = PianoProfile()
+    model = OnsetsFrames2(dim_in=72, profile=profile, model_complexity=2,
+                          quant_acoustic=True, fused_heads=True)
+
+    rng = np.random.RandomState(0)
+    feats = jnp.asarray(rng.rand(1, 8, 72, 1).astype(np.float32))
+
+    with pytest.raises(ValueError, match='quant_acoustic'):
+        model.init({'params': jax.random.PRNGKey(0),
+                    'dropout': jax.random.PRNGKey(1)}, feats, train=False)
+
+
+def test_tabcnn_quant_param_tree_identical():
+    from amt_tools_tpu.models import TabCNN
+    from amt_tools_tpu.tools.instrument import GuitarProfile
+
+    profile = GuitarProfile()
+    kw = dict(dim_in=48, profile=profile, model_complexity=1)
+    m_f = TabCNN(**kw)
+    m_q = TabCNN(quant_acoustic=True, **kw)
+
+    rng = np.random.RandomState(0)
+    batch = {tools.KEY_FEATS: rng.rand(2, 1, 48, 12).astype(np.float32)}
+
+    pre = m_f.pre_proc(dict(batch))
+    rngs = {'params': jax.random.PRNGKey(0), 'dropout': jax.random.PRNGKey(1)}
+    v_f = m_f.init(rngs, pre[tools.KEY_FEATS], train=False)
+    v_q = m_q.init(rngs, pre[tools.KEY_FEATS], train=False)
+
+    assert (jax.tree_util.tree_structure(v_f)
+            == jax.tree_util.tree_structure(v_q))
+
+    out_f, _ = run_on_batch(m_f, v_f, batch, train=False)
+    out_q, _ = run_on_batch(m_q, v_f, batch, train=False)
+
+    lg_f = np.asarray(out_f[tools.KEY_TABLATURE], np.float32)
+    lg_q = np.asarray(out_q[tools.KEY_TABLATURE], np.float32)
+    assert lg_f.shape == lg_q.shape
+    # Logits agree to quantization noise; argmax decode is mostly unchanged
+    agree = np.mean(
+        lg_f.reshape(*lg_f.shape[:2], profile.get_num_dofs(), -1).argmax(-1)
+        == lg_q.reshape(*lg_q.shape[:2], profile.get_num_dofs(), -1).argmax(-1))
+    assert agree > 0.95
