@@ -33,7 +33,8 @@ from . import inference
 from . import train
 from . import parallel
 from . import serving
+from . import export
 
 __all__ = ['tools', 'ops', 'features', 'models', 'datasets', 'metrics',
            'transcribe', 'evaluate', 'inference', 'train', 'parallel',
-           'serving']
+           'serving', 'export']

@@ -1,0 +1,209 @@
+"""AOT deployment artifacts for the serving pipeline (``jax.export``).
+
+A :class:`TranscriptionPipeline` is a live Python object: it needs the
+model code, flax, and the feature modules importable to serve. This module
+freezes one into a **self-contained artifact** — the StableHLO module with
+the trained weights baked in as constants, plus the small host-side
+metadata (frame-time grid, pitch offset, decode capacity) needed to turn
+the device note buffers into ``(pitches, intervals)`` — so a fleet can
+serve it with nothing but jax installed: no model zoo, no flax, no
+amt_tools_tpu on the serving hosts (the loader is ~40 lines of numpy; see
+:class:`ServingArtifact.finalize`).
+
+The reference has no deployment story (its inference requires the full
+torch model zoo importable, ``amt_tools/inference.py:12-47``); this is a
+beyond-parity subsystem enabled by XLA's compilation model: the entire
+audio -> features -> forward -> threshold -> note-decode graph is one
+traced function, so one ``jax.export`` call captures the whole pipeline.
+
+Batch-size handling: the artifact is exported with a SYMBOLIC batch
+dimension when the lowering supports it (pure XLA path), so one artifact
+serves any batch size; if the pipeline contains Pallas custom calls whose
+lowering needs concrete shapes, export falls back to the concrete batch
+size it was built with (recorded in the metadata).
+"""
+
+import io
+import json
+import warnings
+import zipfile
+
+import numpy as np
+
+__all__ = ['export_serving', 'save_serving', 'load_serving',
+           'ServingArtifact']
+
+_META_NAME = 'meta.json'
+_TIMES_NAME = 'times.npy'
+_MODULE_NAME = 'module.bin'
+
+
+def export_serving(pipeline, num_samples, batch_size=8, platforms=None):
+    """Freeze a :class:`~amt_tools_tpu.serving.TranscriptionPipeline`.
+
+    Parameters
+    ----------
+    pipeline : TranscriptionPipeline
+        The live pipeline; its (trained) variables are baked into the
+        artifact as constants.
+    num_samples : int
+        Clip length in samples (static: the decode shapes depend on it).
+    batch_size : int
+        Batch size used when the symbolic-batch export is unsupported by
+        the lowering (and as the example dimension when it is).
+    platforms : sequence of str, optional
+        Lowering platforms (e.g. ``('tpu',)`` or ``('cpu', 'tpu')``);
+        defaults to the current backend.
+
+    Returns
+    -------
+    bytes
+        A zip container: serialized StableHLO module + host metadata.
+    """
+
+    import jax
+    import jax.numpy as jnp
+    from jax import export as jexport
+
+    variables = pipeline.variables
+
+    def serve(audio):
+        return pipeline._pipeline(variables, audio)
+
+    kwargs = {}
+    if platforms is not None:
+        kwargs['platforms'] = tuple(platforms)
+
+    symbolic = True
+    try:
+        (b,) = jexport.symbolic_shape('b')
+        spec = jax.ShapeDtypeStruct((b, num_samples), jnp.float32)
+        exported = jexport.export(jax.jit(serve), **kwargs)(spec)
+    except Exception as exc:  # Pallas custom calls etc.: concrete fallback
+        warnings.warn(f'symbolic-batch export unavailable ({exc}); '
+                      f'exporting at fixed batch {batch_size}')
+        symbolic = False
+        spec = jax.ShapeDtypeStruct((batch_size, num_samples), jnp.float32)
+        exported = jexport.export(jax.jit(serve), **kwargs)(spec)
+
+    times = np.asarray(pipeline._times_for(num_samples), dtype=np.float64)
+    hop = float(times[1] - times[0]) if len(times) > 1 else 0.0
+
+    meta = {
+        'format_version': 1,
+        'num_samples': int(num_samples),
+        'symbolic_batch': symbolic,
+        'batch_size': None if symbolic else int(batch_size),
+        'capacity': int(pipeline.capacity),
+        'profile_low': int(pipeline.profile.low),
+        'profile_high': int(pipeline.profile.high),
+        'hop_seconds': hop,
+        'platforms': list(exported.platforms),
+    }
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, 'w', zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr(_META_NAME, json.dumps(meta, indent=1))
+        times_io = io.BytesIO()
+        np.save(times_io, times)
+        zf.writestr(_TIMES_NAME, times_io.getvalue())
+        zf.writestr(_MODULE_NAME, exported.serialize())
+
+    return buf.getvalue()
+
+
+def save_serving(path, pipeline, num_samples, **kwargs):
+    """``export_serving`` straight to a file; returns the metadata dict."""
+
+    data = export_serving(pipeline, num_samples, **kwargs)
+    with open(path, 'wb') as handle:
+        handle.write(data)
+
+    with zipfile.ZipFile(io.BytesIO(data)) as zf:
+        return json.loads(zf.read(_META_NAME))
+
+
+class ServingArtifact:
+    """A loaded deployment artifact: ``(B, N) audio -> per-clip notes``.
+
+    Host-side requirements: jax + numpy only. The device computation is
+    the deserialized StableHLO module (weights are constants inside it);
+    :meth:`finalize` is plain numpy over the O(capacity) note buffers.
+    """
+
+    def __init__(self, meta, times, exported):
+        self.meta = meta
+        self.times = times
+        self._exported = exported
+        times_ext = np.append(times, times[-1] + meta['hop_seconds']
+                              if len(times) else [0.0])
+        self._times_ext = times_ext
+
+    @property
+    def num_samples(self):
+        return self.meta['num_samples']
+
+    def __call__(self, audio):
+        import jax.numpy as jnp
+
+        audio = jnp.asarray(audio, dtype=jnp.float32)
+        if audio.ndim == 1:
+            audio = audio[None]
+
+        if audio.shape[-1] != self.num_samples:
+            raise ValueError(f'artifact expects clips of '
+                             f'{self.num_samples} samples, got '
+                             f'{audio.shape[-1]}')
+        fixed = self.meta['batch_size']
+        if fixed is not None and audio.shape[0] != fixed:
+            raise ValueError(f'artifact was exported at fixed batch size '
+                             f'{fixed}, got {audio.shape[0]}')
+
+        buffers = self._exported.call(audio)
+
+        return self.finalize(buffers)
+
+    def finalize(self, buffers):
+        """Device note buffers -> list of (pitches, intervals) per clip."""
+
+        rows, on, off, counts = (np.asarray(b) for b in buffers)
+        capacity = rows.shape[-1]
+
+        groups = []
+        for b in range(rows.shape[0]):
+            count = int(counts[b])
+            if count > capacity:
+                warnings.warn(f'note overflow: {count} > capacity '
+                              f'{capacity}; truncating (re-export with a '
+                              f'larger capacity for denser material)')
+                count = capacity
+            if count == 0:
+                groups.append((np.empty(0), np.empty((0, 2))))
+                continue
+
+            pitches = rows[b, :count].astype(float) + self.meta['profile_low']
+            intervals = np.stack([self.times[on[b, :count]],
+                                  self._times_ext[off[b, :count]]], axis=-1)
+            order = np.lexsort((pitches, intervals[:, 0]))
+            groups.append((pitches[order], intervals[order]))
+
+        return groups
+
+
+def load_serving(path_or_bytes):
+    """Load an artifact produced by :func:`export_serving`."""
+
+    from jax import export as jexport
+
+    if isinstance(path_or_bytes, (bytes, bytearray)):
+        data = bytes(path_or_bytes)
+    else:
+        with open(path_or_bytes, 'rb') as handle:
+            data = handle.read()
+
+    with zipfile.ZipFile(io.BytesIO(data)) as zf:
+        meta = json.loads(zf.read(_META_NAME))
+        times = np.load(io.BytesIO(zf.read(_TIMES_NAME)))
+        exported = jexport.deserialize(zf.read(_MODULE_NAME))
+
+    return ServingArtifact(meta, times, exported)
