@@ -31,11 +31,13 @@ import zipfile
 import numpy as np
 
 __all__ = ['export_serving', 'save_serving', 'load_serving',
-           'ServingArtifact']
+           'ServingArtifact', 'export_streaming', 'load_streaming',
+           'StreamingArtifact']
 
 _META_NAME = 'meta.json'
 _TIMES_NAME = 'times.npy'
 _MODULE_NAME = 'module.bin'
+_INIT_NAME = 'init.bin'
 
 
 def export_serving(pipeline, num_samples, batch_size=8, platforms=None):
@@ -195,15 +197,138 @@ def load_serving(path_or_bytes):
 
     from jax import export as jexport
 
-    if isinstance(path_or_bytes, (bytes, bytearray)):
-        data = bytes(path_or_bytes)
-    else:
-        with open(path_or_bytes, 'rb') as handle:
-            data = handle.read()
-
+    data = _read(path_or_bytes)
     with zipfile.ZipFile(io.BytesIO(data)) as zf:
         meta = json.loads(zf.read(_META_NAME))
         times = np.load(io.BytesIO(zf.read(_TIMES_NAME)))
         exported = jexport.deserialize(zf.read(_MODULE_NAME))
 
     return ServingArtifact(meta, times, exported)
+
+
+def _read(path_or_bytes):
+    if isinstance(path_or_bytes, (bytes, bytearray)):
+        return bytes(path_or_bytes)
+
+    with open(path_or_bytes, 'rb') as handle:
+        return handle.read()
+
+
+def export_streaming(model, variables, batch_size=1, frames_per_chunk=1,
+                     platforms=None):
+    """Freeze a carry-threading streaming model's step into an artifact.
+
+    For models with the ``init_carries`` / ``__call__(feats, carries=...)``
+    streaming contract (e.g. ``OnsetsFramesOnline``): exports TWO
+    StableHLO modules — a zero-argument carry initializer and the
+    per-chunk step ``(carries, feats) -> (finalized outputs, carries)``
+    with pre/post-processing baked in. Feature frames come from the
+    client (its microphone/file stream already owns the sample
+    buffering); the artifact owns everything from feature frames to
+    thresholded activation maps.
+
+    The frozen step is the same computation ``inference.run_online_stateful``
+    drives live (reference semantics: ``amt_tools/inference.py:49-96``,
+    frame loop with persistent model state).
+    """
+
+    import jax
+    import jax.numpy as jnp
+    from jax import export as jexport
+
+    if not hasattr(model, 'init_carries'):
+        raise TypeError(f'{type(model).__name__} has no init_carries: '
+                        f'only carry-threading streaming models can be '
+                        f'exported with export_streaming')
+
+    kwargs = {}
+    if platforms is not None:
+        kwargs['platforms'] = tuple(platforms)
+
+    def init():
+        return model.init_carries(batch_size)
+
+    def step(carries, feats):
+        from . import tools
+
+        batch = model.pre_proc({tools.KEY_FEATS: feats})
+        raw, new_carries = model.apply(variables, batch[tools.KEY_FEATS],
+                                       carries=carries)
+        out = model.post_proc({tools.KEY_OUTPUT: raw})
+
+        return out, new_carries
+
+    init_exported = jexport.export(jax.jit(init), **kwargs)()
+
+    feats_spec = jax.ShapeDtypeStruct(
+        (batch_size, model.in_channels, model.dim_in, frames_per_chunk),
+        jnp.float32)
+    carries_spec = jax.eval_shape(init)
+    step_exported = jexport.export(jax.jit(step), **kwargs)(
+        carries_spec, feats_spec)
+
+    meta = {
+        'format_version': 1,
+        'kind': 'streaming',
+        'batch_size': int(batch_size),
+        'frames_per_chunk': int(frames_per_chunk),
+        'dim_in': int(model.dim_in),
+        'in_channels': int(model.in_channels),
+        'profile_low': int(model.profile.low),
+        'profile_high': int(model.profile.high),
+        'platforms': list(step_exported.platforms),
+    }
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, 'w', zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr(_META_NAME, json.dumps(meta, indent=1))
+        zf.writestr(_INIT_NAME, init_exported.serialize())
+        zf.writestr(_MODULE_NAME, step_exported.serialize())
+
+    return buf.getvalue()
+
+
+class StreamingArtifact:
+    """A loaded streaming artifact: feature chunks in, activation maps out.
+
+    Usage::
+
+        art = load_streaming('online.amtx')
+        carries = art.init_carries()
+        for chunk in feature_frames:          # (B, C, F, W) each
+            outputs, carries = art.step(carries, chunk)
+    """
+
+    def __init__(self, meta, init_exported, step_exported):
+        self.meta = meta
+        self._init = init_exported
+        self._step = step_exported
+
+    def init_carries(self):
+        return self._init.call()
+
+    def step(self, carries, feats):
+        import jax.numpy as jnp
+
+        feats = jnp.asarray(feats, dtype=jnp.float32)
+        expected = (self.meta['batch_size'], self.meta['in_channels'],
+                    self.meta['dim_in'], self.meta['frames_per_chunk'])
+        if tuple(feats.shape) != expected:
+            raise ValueError(f'artifact expects feature chunks of shape '
+                             f'{expected}, got {tuple(feats.shape)}')
+
+        return self._step.call(carries, feats)
+
+
+def load_streaming(path_or_bytes):
+    """Load an artifact produced by :func:`export_streaming`."""
+
+    from jax import export as jexport
+
+    data = _read(path_or_bytes)
+    with zipfile.ZipFile(io.BytesIO(data)) as zf:
+        meta = json.loads(zf.read(_META_NAME))
+        init_exported = jexport.deserialize(zf.read(_INIT_NAME))
+        step_exported = jexport.deserialize(zf.read(_MODULE_NAME))
+
+    return StreamingArtifact(meta, init_exported, step_exported)

@@ -89,3 +89,56 @@ def test_artifact_rejects_wrong_length(pipeline_and_audio):
 
     with pytest.raises(ValueError, match='samples'):
         artifact(np.zeros((2, audio.shape[-1] // 2), np.float32))
+
+
+def test_streaming_export_matches_live_model():
+    from amt_tools_tpu.export import export_streaming, load_streaming
+    from amt_tools_tpu.models import OnsetsFramesOnline
+
+    profile = tools.PianoProfile()
+    model = OnsetsFramesOnline(dim_in=48, profile=profile,
+                               model_complexity=2)
+
+    rng = np.random.RandomState(0)
+    feats = rng.rand(1, 1, 48, 6).astype(np.float32)
+
+    variables = model.init({'params': jax.random.PRNGKey(0),
+                            'dropout': jax.random.PRNGKey(1)},
+                           jnp.asarray(feats[..., :1]), train=False)
+
+    data = export_streaming(model, variables)
+    artifact = load_streaming(data)
+
+    carries_live = model.init_carries(1)
+    carries_frozen = artifact.init_carries()
+
+    @jax.jit
+    def live_step(variables, frame, carries):
+        batch = model.pre_proc({tools.KEY_FEATS: frame})
+        raw, new = model.apply(variables, batch[tools.KEY_FEATS],
+                               carries=carries)
+        return model.post_proc({tools.KEY_OUTPUT: raw}), new
+
+    for i in range(feats.shape[-1]):
+        frame = jnp.asarray(feats[..., i:i + 1])
+        out_l, carries_live = live_step(variables, frame, carries_live)
+        out_f, carries_frozen = artifact.step(carries_frozen, frame)
+
+        for key in (tools.KEY_MULTIPITCH, tools.KEY_ONSETS):
+            np.testing.assert_allclose(np.asarray(out_f[key]),
+                                       np.asarray(out_l[key]), atol=1e-5)
+
+    # Recurrent state advanced identically through the frozen module
+    for a, b in zip(jax.tree_util.tree_leaves(carries_frozen),
+                    jax.tree_util.tree_leaves(carries_live)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_streaming_export_rejects_non_streaming_model():
+    from amt_tools_tpu.export import export_streaming
+
+    profile = tools.PianoProfile()
+    model = OnsetsFrames2(dim_in=48, profile=profile, model_complexity=2)
+
+    with pytest.raises(TypeError, match='init_carries'):
+        export_streaming(model, {})
