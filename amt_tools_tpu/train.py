@@ -83,42 +83,106 @@ def init_state(model, optimizer, example_batch, rng=None):
                       rng=state_rng)
 
 
-def make_train_step(model, optimizer, mesh=None, donate=True):
+def make_train_step(model, optimizer, mesh=None, donate=True, accum_steps=1):
     """Build the jitted training step for a model + optimizer pair.
 
     With a mesh, inputs are expected sharded (``parallel.shard_batch``) and
     XLA emits the gradient ``psum`` over the ``data`` axis automatically.
+
+    ``accum_steps`` > 1 runs gradient accumulation inside the one jitted
+    step: the batch splits into that many microbatches, a ``lax.scan``
+    computes and averages their gradients (peak activation memory is ONE
+    microbatch's), and the optimizer applies a single update — an effective
+    batch beyond the HBM limit (composes with ``model.remat``). Gradients
+    equal the per-microbatch average exactly; with BatchNorm models the
+    running statistics thread through the microbatches sequentially (the
+    same statistics ``accum_steps`` separate forward passes would produce),
+    and each microbatch draws its own dropout noise.
     """
 
-    def train_step(state, batch):
-        step_rng = jax.random.fold_in(state.rng, state.step)
+    def micro_grads(params, batch_stats, batch, rng):
+        """Gradients + (loss dict, mutated vars) for one (micro)batch."""
 
         def loss_fn(params):
             variables = {'params': params}
-            if state.batch_stats:
-                variables['batch_stats'] = state.batch_stats
+            if batch_stats:
+                variables['batch_stats'] = batch_stats
 
             output, mutated = run_on_batch(model, variables, batch, train=True,
-                                           rngs={'dropout': step_rng})
+                                           rngs={'dropout': rng})
 
             loss = output[tools.KEY_LOSS]
 
             return loss[tools.KEY_LOSS_TOTAL], (loss, mutated)
 
-        grads, (loss, mutated) = jax.grad(loss_fn, has_aux=True)(state.params)
+        return jax.grad(loss_fn, has_aux=True)(params)
 
+    def apply_update(state, grads, loss, batch_stats):
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
 
         new_state = state.replace(
             step=state.step + 1,
             params=params,
-            batch_stats=mutated.get('batch_stats', state.batch_stats),
+            batch_stats=batch_stats,
             opt_state=opt_state)
 
         return new_state, loss
 
-    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+    def train_step(state, batch):
+        step_rng = jax.random.fold_in(state.rng, state.step)
+
+        grads, (loss, mutated) = micro_grads(state.params, state.batch_stats,
+                                             batch, step_rng)
+
+        return apply_update(state, grads, loss,
+                            mutated.get('batch_stats', state.batch_stats))
+
+    def train_step_accum(state, batch):
+        step_rng = jax.random.fold_in(state.rng, state.step)
+
+        def split(leaf):
+            if leaf.shape[0] % accum_steps:
+                raise ValueError(f'batch size {leaf.shape[0]} is not '
+                                 f'divisible by accum_steps={accum_steps}')
+            return leaf.reshape((accum_steps, leaf.shape[0] // accum_steps)
+                                + leaf.shape[1:])
+
+        micro = jax.tree_util.tree_map(split, batch)
+        first = jax.tree_util.tree_map(lambda x: x[0], micro)
+
+        # Zero accumulators with the exact structures one microbatch yields
+        grads_shape, (loss_shape, _) = jax.eval_shape(
+            micro_grads, state.params, state.batch_stats, first, step_rng)
+        zeros = lambda tree: jax.tree_util.tree_map(
+            lambda s: jnp.zeros(s.shape, s.dtype), tree)
+
+        def body(carry, xs):
+            grads_acc, loss_acc, batch_stats = carry
+            microbatch, k = xs
+
+            grads, (loss, mutated) = micro_grads(
+                state.params, batch_stats, microbatch,
+                jax.random.fold_in(step_rng, k))
+
+            grads_acc = jax.tree_util.tree_map(jnp.add, grads_acc, grads)
+            loss_acc = jax.tree_util.tree_map(jnp.add, loss_acc, loss)
+
+            return (grads_acc, loss_acc,
+                    mutated.get('batch_stats', batch_stats)), None
+
+        carry0 = (zeros(grads_shape), zeros(loss_shape), state.batch_stats)
+        (grads, loss, batch_stats), _ = jax.lax.scan(
+            body, carry0, (micro, jnp.arange(accum_steps)))
+
+        mean = lambda tree: jax.tree_util.tree_map(
+            lambda x: x / accum_steps, tree)
+
+        return apply_update(state, mean(grads), mean(loss), batch_stats)
+
+    step_fn = train_step_accum if accum_steps > 1 else train_step
+
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
 
 ##################################################
@@ -191,7 +255,7 @@ def train(model, train_loader, optimizer, iterations, checkpoints=0,
           log_dir='.', scheduler=None, resume=True, single_batch=False,
           val_set=None, estimator=None, evaluator=None, vis_fnc=None,
           state=None, rng=None, mesh=None, writer=None, val_bucket=128,
-          val_batch_size=1):
+          val_batch_size=1, accum_steps=1):
     """Training loop (signature-compatible with the reference ``train()``).
 
     Parameters mirror ``train.py:19-60`` of the reference; JAX-specific
@@ -217,6 +281,11 @@ def train(model, train_loader, optimizer, iterations, checkpoints=0,
     compiled executable serves every track length (0 disables);
     ``val_batch_size`` > 1 evaluates several same-bucket tracks per forward
     (~4x faster whole-dataset validation measured on v5e).
+
+    ``accum_steps`` > 1 enables in-step gradient accumulation (see
+    ``make_train_step``): each loader batch splits into that many
+    microbatches whose gradients are averaged into one optimizer update,
+    bounding peak activation memory at one microbatch's.
 
     Returns the final TrainState.
     """
@@ -272,7 +341,8 @@ def train(model, train_loader, optimizer, iterations, checkpoints=0,
             state = jax.tree_util.tree_map(jnp.asarray, state)
             start_iter = ckpt_iter
 
-    train_step = make_train_step(model, optimizer, mesh=mesh)
+    train_step = make_train_step(model, optimizer, mesh=mesh,
+                                 accum_steps=accum_steps)
 
     for global_iter in range(start_iter, iterations):
         # Loop through the dataset (one pass per outer iteration); the first

@@ -218,3 +218,97 @@ def test_bf16_training_decreases_loss():
     # Parameters and optimizer state stay full precision
     assert all(l.dtype == np.float32
                for l in jax.tree_util.tree_leaves(state.params))
+
+
+def test_gradient_accumulation_matches_manual_average():
+    """accum_steps=k: one update from the average of k microbatch grads.
+
+    Verified against a hand-rolled reference: per-microbatch gradients
+    (same dropout rng folding, batch stats threaded in order), averaged.
+    The comparison runs through sgd(1.0) so the param delta IS the
+    averaged gradient — comparing post-Adam parameters instead would be
+    meaningless for the pre-BatchNorm conv biases, whose true gradient is
+    ~0 and where Adam amplifies scan-vs-unrolled float rounding noise to
+    learning-rate scale.
+    """
+
+    import jax.numpy as jnp
+    from amt_tools_tpu.models import OnsetsFrames2, run_on_batch
+    from amt_tools_tpu.train import init_state, make_train_step
+
+    profile = tools.PianoProfile()
+    dim_out = profile.get_range_len()
+    rng = np.random.RandomState(0)
+    batch = {
+        tools.KEY_FEATS: rng.rand(4, 1, 72, 16).astype(np.float32),
+        tools.KEY_MULTIPITCH: (rng.rand(4, dim_out, 16) > 0.9
+                               ).astype(np.float32),
+    }
+    batch[tools.KEY_ONSETS] = batch[tools.KEY_MULTIPITCH].copy()
+
+    model = OnsetsFrames2(dim_in=72, profile=profile, model_complexity=2)
+    optimizer = optax.sgd(1.0)
+
+    state = init_state(model, optimizer, batch, jax.random.PRNGKey(0))
+    accum_step = make_train_step(model, optimizer, accum_steps=2,
+                                 donate=False)
+    new_state, loss = accum_step(state, dict(batch))
+
+    # sgd(1.0): params_new = params - mean(grads)
+    accum_grads = jax.tree_util.tree_map(lambda p0, p1: p0 - p1,
+                                         state.params, new_state.params)
+
+    # Manual: two microbatches, per-microbatch dropout rngs, averaged grads
+    step_rng = jax.random.fold_in(state.rng, state.step)
+
+    def grads_for(k, batch_stats):
+        micro = {key: val[2 * k: 2 * (k + 1)] for key, val in batch.items()}
+
+        def loss_fn(params):
+            variables = {'params': params, 'batch_stats': batch_stats}
+            output, mutated = run_on_batch(
+                model, variables, micro, train=True,
+                rngs={'dropout': jax.random.fold_in(step_rng, k)})
+            return (output[tools.KEY_LOSS][tools.KEY_LOSS_TOTAL],
+                    mutated['batch_stats'])
+
+        return jax.grad(loss_fn, has_aux=True)(state.params)
+
+    g0, stats = grads_for(0, state.batch_stats)
+    g1, stats = grads_for(1, stats)
+    grads = jax.tree_util.tree_map(lambda a, b: (a + b) / 2, g0, g1)
+
+    for a, b in zip(jax.tree_util.tree_leaves(accum_grads),
+                    jax.tree_util.tree_leaves(grads)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+
+    # Running statistics advanced through both microbatches
+    for a, b in zip(jax.tree_util.tree_leaves(new_state.batch_stats),
+                    jax.tree_util.tree_leaves(stats)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
+
+    assert np.isfinite(float(loss[tools.KEY_LOSS_TOTAL]))
+
+
+def test_gradient_accumulation_rejects_indivisible_batch():
+    from amt_tools_tpu.models import OnsetsFrames2
+    from amt_tools_tpu.train import init_state, make_train_step
+
+    profile = tools.PianoProfile()
+    dim_out = profile.get_range_len()
+    rng = np.random.RandomState(0)
+    batch = {
+        tools.KEY_FEATS: rng.rand(3, 1, 72, 8).astype(np.float32),
+        tools.KEY_MULTIPITCH: (rng.rand(3, dim_out, 8) > 0.9
+                               ).astype(np.float32),
+    }
+
+    model = OnsetsFrames2(dim_in=72, profile=profile, model_complexity=2)
+    optimizer = optax.adam(6e-4)
+    state = init_state(model, optimizer, batch, jax.random.PRNGKey(0))
+    step = make_train_step(model, optimizer, accum_steps=2)
+
+    with pytest.raises(ValueError, match='divisible'):
+        step(state, dict(batch))
