@@ -142,3 +142,19 @@ def test_streaming_export_rejects_non_streaming_model():
 
     with pytest.raises(TypeError, match='init_carries'):
         export_streaming(model, {})
+
+
+def test_quant_pipeline_exports(pipeline_and_audio):
+    """int8 serving composes with AOT export (int8 convs in StableHLO)."""
+
+    pipeline, audio = pipeline_and_audio
+
+    model = OnsetsFrames2(dim_in=72, profile=pipeline.model.profile,
+                          model_complexity=2, quant_acoustic=True)
+    qpipe = TranscriptionPipeline(model, pipeline.variables,
+                                  pipeline.data_proc, capacity=256)
+
+    data = export_serving(qpipe, audio.shape[-1], batch_size=4)
+    artifact = load_serving(data)
+
+    _assert_same_notes(artifact(np.asarray(audio)), qpipe(audio))
