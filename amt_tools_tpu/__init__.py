@@ -34,7 +34,8 @@ from . import train
 from . import parallel
 from . import serving
 from . import export
+from . import compat
 
 __all__ = ['tools', 'ops', 'features', 'models', 'datasets', 'metrics',
            'transcribe', 'evaluate', 'inference', 'train', 'parallel',
-           'serving', 'export']
+           'serving', 'export', 'compat']
