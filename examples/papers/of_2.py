@@ -88,6 +88,16 @@ def config():
     # ~1.4x. Same recipe semantics either way.
     bf16 = False
 
+    # Gradient accumulation: split each batch into this many microbatches
+    # inside the jitted step (one optimizer update per batch; peak
+    # activation memory of one microbatch). Composes with remat.
+    accum_steps = 1
+
+    # Rematerialize the acoustic conv stacks in the backward pass:
+    # True (whole stack; measured faster at HBM-pressured batch sizes)
+    # or 'blocks' (per conv block; lowest memory). false to disable.
+    remat = False
+
     # The random seed for this experiment
     seed = 0
 
@@ -97,7 +107,7 @@ def onsets_frames_2_run(sample_rate, hop_length, num_frames, iterations,
                         checkpoints, batch_size, learning_rate, warmup_steps,
                         estimate_velocity, data_parallel, reset_data,
                         maestro_base_dir, maps_base_dir, bf16,
-                        seed, root_dir):
+                        accum_steps, remat, seed, root_dir):
     tools.seed_everything(seed)
 
     profile = tools.PianoProfile()
@@ -183,6 +193,7 @@ def onsets_frames_2_run(sample_rate, hop_length, num_frames, iterations,
                                  model_complexity=3,
                                  detach_heads=True,
                                  estimate_velocity=estimate_velocity,
+                                 remat=remat,
                                  dtype=jnp.bfloat16 if bf16 else None)
 
     optimizer = optax.adam(learning_rate)
@@ -213,7 +224,8 @@ def onsets_frames_2_run(sample_rate, hop_length, num_frames, iterations,
                   estimator=validation_estimator,
                   evaluator=validation_evaluator,
                   rng=jax.random.PRNGKey(seed),
-                  mesh=mesh)
+                  mesh=mesh,
+                  accum_steps=accum_steps)
 
     print('Transcribing and evaluating test partitions...')
 

@@ -90,6 +90,16 @@ def config():
     # ~1.4x. Same recipe semantics either way.
     bf16 = False
 
+    # Gradient accumulation: split each batch into this many microbatches
+    # inside the jitted step (one optimizer update per batch; peak
+    # activation memory of one microbatch). Composes with remat.
+    accum_steps = 1
+
+    # Rematerialize the acoustic conv stacks in the backward pass:
+    # True (whole stack; measured faster at HBM-pressured batch sizes)
+    # or 'blocks' (per conv block; lowest memory). false to disable.
+    remat = False
+
     # The random seed for this experiment
     seed = 0
 
@@ -100,7 +110,7 @@ def synthetic_demo(sample_rate, hop_length, num_frames, iterations,
                    num_train_tracks, num_test_tracks, track_duration,
                    notes_per_track, noise_snr_db, reverb_time,
                    velocity_range, timbre_jitter, estimate_velocity,
-                   data_parallel, bf16, seed, root_dir):
+                   data_parallel, bf16, accum_steps, remat, seed, root_dir):
     difficulty = dict(noise_snr_db=noise_snr_db, reverb_time=reverb_time,
                       velocity_range=(tuple(velocity_range)
                                       if velocity_range else None),
@@ -147,10 +157,12 @@ def synthetic_demo(sample_rate, hop_length, num_frames, iterations,
     if estimate_velocity:
         model = OnsetsFrames2(dim_in=data_proc.get_feature_size(),
                               profile=profile, model_complexity=2,
-                              estimate_velocity=True, dtype=dtype)
+                              estimate_velocity=True, remat=remat,
+                              dtype=dtype)
     else:
         model = OnsetsFrames(dim_in=data_proc.get_feature_size(),
-                             profile=profile, model_complexity=2, dtype=dtype)
+                             profile=profile, model_complexity=2,
+                             remat=remat, dtype=dtype)
 
     mesh = get_mesh() if data_parallel else None
 
@@ -170,7 +182,8 @@ def synthetic_demo(sample_rate, hop_length, num_frames, iterations,
                   scheduler=scheduler,
                   val_set=test_set, estimator=validation_estimator,
                   evaluator=validation_evaluator,
-                  rng=jax.random.PRNGKey(seed), mesh=mesh)
+                  rng=jax.random.PRNGKey(seed), mesh=mesh,
+                  accum_steps=accum_steps)
 
     print('Final evaluation on held-out tracks...')
 
