@@ -67,6 +67,12 @@ def export_serving(pipeline, num_samples, batch_size=8, platforms=None):
     import jax.numpy as jnp
     from jax import export as jexport
 
+    if getattr(pipeline, 'mesh', None) is not None:
+        raise ValueError('cannot export a mesh-sharded pipeline: the '
+                         'artifact would bake in this host\'s device '
+                         'topology. Export a single-device pipeline and '
+                         'shard batches across loaded artifacts instead.')
+
     variables = pipeline.variables
 
     def serve(audio):

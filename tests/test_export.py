@@ -158,3 +158,17 @@ def test_quant_pipeline_exports(pipeline_and_audio):
     artifact = load_serving(data)
 
     _assert_same_notes(artifact(np.asarray(audio)), qpipe(audio))
+
+
+def test_export_rejects_mesh_pipeline(pipeline_and_audio):
+    pipeline, audio = pipeline_and_audio
+
+    class _FakeMesh:
+        pass
+
+    sharded = TranscriptionPipeline.__new__(TranscriptionPipeline)
+    sharded.__dict__.update(pipeline.__dict__)
+    sharded.mesh = _FakeMesh()
+
+    with pytest.raises(ValueError, match='mesh'):
+        export_serving(sharded, audio.shape[-1])
