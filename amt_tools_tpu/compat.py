@@ -198,6 +198,7 @@ def port_reference_checkpoint(model, source):
     """
 
     from .models import OnsetsFrames, TabCNN
+    from .models.onsetsframes import OnsetsFramesOnline
 
     if isinstance(source, str):
         import torch
@@ -212,6 +213,26 @@ def port_reference_checkpoint(model, source):
                                       frame_width=model.frame_width)
 
     if isinstance(model, OnsetsFrames):
+        # Fail HERE with a reason, not later inside model.apply with an
+        # opaque missing-parameter error: these configs change the target
+        # parameter tree away from anything the reference can provide.
+        if isinstance(model, OnsetsFramesOnline):
+            raise ValueError(
+                'reference checkpoints hold bidirectional language models; '
+                'OnsetsFramesOnline uses unidirectional streaming LSTMs, so '
+                'there is nothing to port the backward direction into. Port '
+                'into the offline model and retrain/finetune the online one.')
+        if getattr(model, 'fused_heads', False):
+            raise ValueError(
+                'port into a fused_heads=False model, then convert with '
+                'models.fuse_acoustic_variables (the reference stores '
+                'per-head acoustic stacks).')
+        if getattr(model, 'estimate_velocity', False):
+            raise ValueError(
+                'the reference has no velocity stack (its TODO at '
+                'onsetsframes.py:13); port into estimate_velocity=False or '
+                'initialize the velocity head separately and merge.')
+
         return port_onsetsframes_state_dict(source)
 
     raise TypeError(f'no reference checkpoint porting for '

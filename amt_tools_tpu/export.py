@@ -5,10 +5,9 @@ model code, flax, and the feature modules importable to serve. This module
 freezes one into a **self-contained artifact** — the StableHLO module with
 the trained weights baked in as constants, plus the small host-side
 metadata (frame-time grid, pitch offset, decode capacity) needed to turn
-the device note buffers into ``(pitches, intervals)`` — so a fleet can
-serve it with nothing but jax installed: no model zoo, no flax, no
-amt_tools_tpu on the serving hosts (the loader is ~40 lines of numpy; see
-:class:`ServingArtifact.finalize`).
+the device note buffers into ``(pitches, intervals)`` — so serving hosts
+need jax + this package's host-side numpy (no flax tracing, no model
+code, no feature modules: the device computation is already frozen).
 
 The reference has no deployment story (its inference requires the full
 torch model zoo importable, ``amt_tools/inference.py:12-47``); this is a
@@ -88,11 +87,13 @@ def export_serving(pipeline, num_samples, batch_size=8, platforms=None):
         spec = jax.ShapeDtypeStruct((b, num_samples), jnp.float32)
         exported = jexport.export(jax.jit(serve), **kwargs)(spec)
     except Exception as exc:  # Pallas custom calls etc.: concrete fallback
-        warnings.warn(f'symbolic-batch export unavailable ({exc}); '
-                      f'exporting at fixed batch {batch_size}')
         symbolic = False
         spec = jax.ShapeDtypeStruct((batch_size, num_samples), jnp.float32)
+        # If this ALSO fails, the problem is the pipeline itself, not shape
+        # polymorphism — let that error surface with its own traceback
         exported = jexport.export(jax.jit(serve), **kwargs)(spec)
+        warnings.warn(f'symbolic-batch export unavailable ({exc}); '
+                      f'exported at fixed batch {batch_size}')
 
     times = np.asarray(pipeline._times_for(num_samples), dtype=np.float64)
     hop = float(times[1] - times[0]) if len(times) > 1 else 0.0
@@ -143,9 +144,6 @@ class ServingArtifact:
         self.meta = meta
         self.times = times
         self._exported = exported
-        times_ext = np.append(times, times[-1] + meta['hop_seconds']
-                              if len(times) else [0.0])
-        self._times_ext = times_ext
 
     @property
     def num_samples(self):
@@ -172,30 +170,26 @@ class ServingArtifact:
         return self.finalize(buffers)
 
     def finalize(self, buffers):
-        """Device note buffers -> list of (pitches, intervals) per clip."""
+        """Device note buffers -> list of (pitches, intervals) per clip.
 
+        Delegates to the one canonical buffer decoder
+        (``ops.decode.notes_from_device``) so the artifact path can never
+        drift from the live pipeline's; overflow past the frozen capacity
+        warns and truncates (re-export with a larger ``capacity`` for
+        denser material — the live ``TranscriptionPipeline`` re-decodes
+        instead, but an artifact's capacity is fixed at export time).
+        """
+
+        from .ops import decode
+        from .tools.instrument import InstrumentProfile
+
+        profile = InstrumentProfile(self.meta['profile_low'],
+                                    self.meta['profile_high'])
         rows, on, off, counts = (np.asarray(b) for b in buffers)
-        capacity = rows.shape[-1]
 
-        groups = []
-        for b in range(rows.shape[0]):
-            count = int(counts[b])
-            if count > capacity:
-                warnings.warn(f'note overflow: {count} > capacity '
-                              f'{capacity}; truncating (re-export with a '
-                              f'larger capacity for denser material)')
-                count = capacity
-            if count == 0:
-                groups.append((np.empty(0), np.empty((0, 2))))
-                continue
-
-            pitches = rows[b, :count].astype(float) + self.meta['profile_low']
-            intervals = np.stack([self.times[on[b, :count]],
-                                  self._times_ext[off[b, :count]]], axis=-1)
-            order = np.lexsort((pitches, intervals[:, 0]))
-            groups.append((pitches[order], intervals[order]))
-
-        return groups
+        return [decode.notes_from_device(rows[b], on[b], off[b], counts[b],
+                                         self.times, profile)
+                for b in range(rows.shape[0])]
 
 
 def load_serving(path_or_bytes):

@@ -110,9 +110,14 @@ class FeatureModule(object):
                         dtype=np.float32)
 
     def to_decibels(self, feats):
-        """Convert amplitude features to dB relative to their maximum."""
+        """Convert amplitude features to dB relative to their maximum.
 
-        return spectral.amplitude_to_db(feats)
+        Per-track maximum: leading axes of the (..., F, T) input are
+        independent clips, normalized separately (the reference computes
+        features one track at a time, so its ``ref=np.max`` is per-track).
+        """
+
+        return spectral.amplitude_to_db(feats, sample_ndim=2)
 
     def post_proc(self, feats):
         """dB scaling into [0, 1] and channel-dim insertion (jnp)."""

@@ -39,9 +39,9 @@ class MelSpec(STFT):
         return self.post_proc(mel)
 
     def to_decibels(self, feats):
-        """Mel features are powers: use power-dB scaling."""
+        """Mel features are powers: use power-dB scaling (per-track max)."""
 
-        return spectral.power_to_db(feats)
+        return spectral.power_to_db(feats, sample_ndim=2)
 
     def get_feature_size(self):
         return self.n_mels

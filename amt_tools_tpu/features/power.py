@@ -25,7 +25,8 @@ class SignalPower(WaveformWrapper):
         powers = jnp.sum(jnp.square(frames), axis=-2) / self.win_length
 
         if self.decibels:
-            powers = spectral.amplitude_to_db(powers)
+            # (..., T) power curves: per-track (trailing-axis) dB reference
+            powers = spectral.amplitude_to_db(powers, sample_ndim=1)
 
         return powers
 

@@ -12,8 +12,10 @@ Design (all in-graph, no offline calibration step):
   to the float model's (``kernel``/``bias`` under the same module names),
   so any trained checkpoint serves quantized without conversion; XLA
   hoists the (tiny) weight-quantization ops out of the conv hot path.
-- **Activations**: per-tensor symmetric int8 with a dynamic scale
-  (``max|x| / 127`` over the batch). Dynamic quantization costs one global
+- **Activations**: per-SAMPLE symmetric int8 with a dynamic scale
+  (``max|x| / 127`` over each batch element separately, so one loud clip
+  cannot coarsen its batchmates' quantization grid — each clip's notes
+  are independent of batch composition). Dynamic quantization costs one
   reduce per conv — negligible next to the conv itself — and adapts to
   any input distribution without calibration data. Inputs here are
   dB-scaled features in [0, 1] and post-ReLU activations, so the dynamic
@@ -48,15 +50,18 @@ def quantize_symmetric(x, axis=None):
     xf = x.astype(jnp.float32)
 
     if axis is None:
-        amax = jnp.max(jnp.abs(xf))
-    else:
-        axes = tuple(i for i in range(x.ndim) if i != axis % x.ndim)
-        amax = jnp.max(jnp.abs(xf), axis=axes)
+        scale = jnp.maximum(jnp.max(jnp.abs(xf)) / 127.0,
+                            jnp.finfo(jnp.float32).tiny)
+        q = jnp.clip(jnp.round(xf / scale), -127, 127).astype(jnp.int8)
 
+        return q, scale
+
+    axes = tuple(i for i in range(x.ndim) if i != axis % x.ndim)
+    amax = jnp.max(jnp.abs(xf), axis=axes, keepdims=True)
     scale = jnp.maximum(amax / 127.0, jnp.finfo(jnp.float32).tiny)
     q = jnp.clip(jnp.round(xf / scale), -127, 127).astype(jnp.int8)
 
-    return q, scale
+    return q, scale.reshape(x.shape[axis % x.ndim])
 
 
 class Int8Conv(nn.Module):
@@ -86,8 +91,8 @@ class Int8Conv(nn.Module):
 
         # Per-output-channel weight scales (axis -1 of HWIO)
         w8, s_w = quantize_symmetric(kernel, axis=-1)
-        # Per-tensor dynamic activation scale
-        x8, s_x = quantize_symmetric(x)
+        # Per-sample dynamic activation scales
+        x8, s_x = quantize_symmetric(x, axis=0)
 
         dn = jax.lax.conv_dimension_numbers(
             x.shape, w8.shape, ('NHWC', 'HWIO', 'NHWC'))
@@ -95,6 +100,7 @@ class Int8Conv(nn.Module):
             x8, w8, window_strides=(1, 1), padding=self.padding,
             dimension_numbers=dn, preferred_element_type=jnp.int32)
 
+        s_x = s_x.reshape((-1,) + (1,) * (acc.ndim - 1))
         out = acc.astype(jnp.float32) * (s_x * s_w) + bias
         out_dtype = self.dtype if self.dtype is not None else jnp.float32
 
@@ -105,8 +111,8 @@ class Int8Dense(nn.Module):
     """Drop-in ``nn.Dense`` replacement computing the matmul in int8.
 
     Same parameters/names as ``nn.Dense`` (``kernel``: (in, out),
-    ``bias``: (out,)); per-output-column weight scales, per-tensor dynamic
-    activation scale, int32 accumulation.
+    ``bias``: (out,)); per-output-column weight scales, per-sample dynamic
+    activation scales, int32 accumulation.
     """
 
     features: int
@@ -121,12 +127,13 @@ class Int8Dense(nn.Module):
                           jnp.float32)
 
         w8, s_w = quantize_symmetric(kernel, axis=-1)
-        x8, s_x = quantize_symmetric(x)
+        x8, s_x = quantize_symmetric(x, axis=0)
 
         acc = jax.lax.dot_general(
             x8, w8, (((x.ndim - 1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32)
 
+        s_x = s_x.reshape((-1,) + (1,) * (acc.ndim - 1))
         out = acc.astype(jnp.float32) * (s_x * s_w) + bias
         out_dtype = self.dtype if self.dtype is not None else jnp.float32
 

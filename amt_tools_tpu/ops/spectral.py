@@ -170,25 +170,41 @@ def dft_bank(n_fft, win_length=None, window=None, dtype=np.float32):
 ##################################################
 
 
-def power_to_db(S, amin=1e-10, top_db=80.0):
-    """Power -> dB relative to the maximum entry (librosa ``ref=np.max``)."""
+def power_to_db(S, amin=1e-10, top_db=80.0, sample_ndim=None):
+    """Power -> dB relative to the maximum entry (librosa ``ref=np.max``).
+
+    ``sample_ndim`` gives the number of TRAILING axes that form one
+    track's features (2 for an (F, T) spectrogram); any leading axes are
+    independent samples, each normalized by its own maximum. This matches
+    the reference, which runs librosa per track in a host loop — a batched
+    in-graph frontend must not let one loud clip shift its batchmates' dB
+    reference (and thereby their thresholded activations). ``None``
+    reduces globally (the single-track behavior).
+    """
 
     S = jnp.asarray(S)
-    ref_value = jnp.maximum(amin, jnp.max(S))
+
+    if sample_ndim is None:
+        sample_ndim = S.ndim
+    axes = tuple(range(S.ndim - min(sample_ndim, S.ndim), S.ndim))
+
+    ref_value = jnp.maximum(amin, jnp.max(S, axis=axes, keepdims=True))
 
     log_spec = 10.0 * jnp.log10(jnp.maximum(amin, S))
     log_spec = log_spec - 10.0 * jnp.log10(ref_value)
 
     if top_db is not None:
-        log_spec = jnp.maximum(log_spec, jnp.max(log_spec) - top_db)
+        log_spec = jnp.maximum(log_spec, jnp.max(log_spec, axis=axes,
+                                                 keepdims=True) - top_db)
 
     return log_spec
 
 
-def amplitude_to_db(S, amin=1e-5, top_db=80.0):
+def amplitude_to_db(S, amin=1e-5, top_db=80.0, sample_ndim=None):
     """Amplitude -> dB relative to the maximum entry (librosa ``ref=np.max``)."""
 
-    return power_to_db(jnp.square(S), amin=amin ** 2, top_db=top_db)
+    return power_to_db(jnp.square(S), amin=amin ** 2, top_db=top_db,
+                       sample_ndim=sample_ndim)
 
 
 ##################################################

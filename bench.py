@@ -169,9 +169,21 @@ def main(quant=False):
 
     if quant:
         # Honesty companion: how well do the int8 pipeline's decoded notes
-        # agree with the bf16 pipeline's on the same audio?
+        # agree with the bf16 pipeline's on the same audio? The reference
+        # pipeline reuses the quant pipeline's (calibrated) variables — the
+        # parameter trees are identical — so the comparison isolates
+        # quantization error rather than mixing in calibration drift.
+        import jax.numpy as jnp
+
+        from amt_tools_tpu.models import OnsetsFrames2
+        from amt_tools_tpu.serving import TranscriptionPipeline
+
         _log('building bf16 reference pipeline for agreement check...')
-        ref_pipeline, _ = build_pipeline(batch_size, clip_seconds)
+        float_model = OnsetsFrames2(dim_in=229, profile=pipeline.model.profile,
+                                    model_complexity=3, dtype=jnp.bfloat16)
+        ref_pipeline = TranscriptionPipeline(float_model, pipeline.variables,
+                                             pipeline.data_proc,
+                                             capacity=NOTE_CAPACITY)
         ref_notes = ref_pipeline(audio)
 
         matched = total_ref = total_q = 0

@@ -76,8 +76,9 @@ def export(checkpoint, out, clip_seconds, quant, capacity):
         x, train=False))(feats_shape[tools.KEY_FEATS])
 
     def probe_batch(seed, count=2):
+        r = np.random.RandomState(seed)
         return np.stack([render_notes(*random_notes(profile, clip_seconds,
-                                                    30, np.random.RandomState(seed)),
+                                                    30, r),
                                       sample_rate, clip_seconds, seed=seed + b)
                          for b in range(count)])
 
@@ -108,7 +109,10 @@ def export(checkpoint, out, clip_seconds, quant, capacity):
     pipeline = TranscriptionPipeline(model, variables, data_proc,
                                      capacity=capacity)
 
-    meta = save_serving(out, pipeline, num_samples)
+    # batch_size matters only when symbolic-batch export is unsupported
+    # (e.g. Pallas custom calls on TPU): pin it to the smoke batch below so
+    # the fallback artifact still serves this script's probe
+    meta = save_serving(out, pipeline, num_samples, batch_size=2)
     size_mb = os.path.getsize(out) / 1e6
     print(f'wrote {out}: {size_mb:.1f} MB, {meta}')
 

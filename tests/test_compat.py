@@ -94,3 +94,25 @@ def test_port_rejects_unknown_model():
     with pytest.raises(TypeError, match='porting'):
         compat.port_reference_checkpoint(
             AcousticModel(dim_in=8, dim_out=8), {})
+
+
+@pytest.mark.parametrize('kwargs, match', [
+    (dict(estimate_velocity=True), 'velocity'),
+    (dict(fused_heads=True), 'fuse_acoustic_variables'),
+])
+def test_port_rejects_incompatible_of2_configs(ref_of2, kwargs, match):
+    model = OnsetsFrames2(dim_in=48, profile=PianoProfile(),
+                          model_complexity=2, **kwargs)
+
+    with pytest.raises(ValueError, match=match):
+        compat.port_reference_checkpoint(model, ref_of2.state_dict())
+
+
+def test_port_rejects_online_model(ref_of2):
+    from amt_tools_tpu.models import OnsetsFramesOnline
+
+    model = OnsetsFramesOnline(dim_in=48, profile=PianoProfile(),
+                               model_complexity=2)
+
+    with pytest.raises(ValueError, match='unidirectional'):
+        compat.port_reference_checkpoint(model, ref_of2.state_dict())

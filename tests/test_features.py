@@ -209,3 +209,27 @@ def test_feature_combo_sample_range_intersection():
         rng_combo = combo.get_sample_range(num_frames)
         for n in (rng_combo[0], rng_combo[-1]):
             assert combo.get_expected_frames(np.zeros(int(n))) == num_frames
+
+
+def test_batched_db_features_match_per_clip():
+    """Batched feature extraction == per-clip extraction, exactly.
+
+    The dB reference (librosa ref=np.max semantics) is PER TRACK: the
+    reference computes features in a per-track host loop, so a batched
+    in-graph frontend must normalize each clip by its own maximum — one
+    loud clip must not shift its batchmates' dB scale.
+    """
+
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(0)
+    quiet = rng.randn(1, 4096).astype(np.float32) * 0.01
+    loud = rng.randn(1, 4096).astype(np.float32) * 10.0
+    batch = jnp.asarray(np.concatenate([quiet, loud], axis=0))
+
+    for module in (MelSpec(sample_rate=16000, hop_length=512, n_mels=48),
+                   STFT(sample_rate=16000, hop_length=512, n_fft=1024)):
+        batched = np.asarray(module.process_jax(batch))
+        alone = np.asarray(module.process_jax(jnp.asarray(quiet[0])))
+
+        np.testing.assert_array_equal(batched[0], alone)

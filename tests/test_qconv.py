@@ -134,3 +134,22 @@ def test_tabcnn_quant_param_tree_identical():
         lg_f.reshape(*lg_f.shape[:2], profile.get_num_dofs(), -1).argmax(-1)
         == lg_q.reshape(*lg_q.shape[:2], profile.get_num_dofs(), -1).argmax(-1))
     assert agree > 0.95
+
+
+def test_quantized_outputs_independent_of_batch_composition():
+    """Per-sample activation scales: a clip's logits do not change when a
+    much louder clip joins its batch."""
+
+    rng = np.random.RandomState(3)
+    x_quiet = rng.rand(1, 9, 16, 8).astype(np.float32)
+    x_loud = 100.0 * rng.rand(1, 9, 16, 8).astype(np.float32)
+
+    conv = Int8Conv(features=12, kernel_size=(3, 3))
+    variables = conv.init(jax.random.PRNGKey(0), x_quiet)
+
+    alone = conv.apply(variables, x_quiet)
+    together = conv.apply(variables,
+                          np.concatenate([x_quiet, x_loud], axis=0))
+
+    np.testing.assert_array_equal(np.asarray(alone[0]),
+                                  np.asarray(together[0]))
