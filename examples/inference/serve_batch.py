@@ -49,9 +49,15 @@ def config():
     # Maximum notes decoded per clip on device
     capacity = 1024
 
+    # Serve the acoustic conv stacks as int8 MXU contractions (2x bf16
+    # MXU peak on v5e; per-sample dynamic activation scales, identical
+    # parameter tree — see ops/qconv.py)
+    quant = False
+
 
 @ex.automain
-def serve(batch_size, clip_seconds, checkpoint, data_parallel, capacity):
+def serve(batch_size, clip_seconds, checkpoint, data_parallel, capacity,
+          quant):
     import jax
     import jax.numpy as jnp
 
@@ -65,7 +71,7 @@ def serve(batch_size, clip_seconds, checkpoint, data_parallel, capacity):
     profile = tools.PianoProfile()
     data_proc = MelSpec(sample_rate=sample_rate, hop_length=hop, n_mels=229)
     model = OnsetsFrames2(dim_in=229, profile=profile, model_complexity=3,
-                          dtype=jnp.bfloat16)
+                          dtype=jnp.bfloat16, quant_acoustic=quant)
 
     # --- parameters: trained checkpoint or calibrated random init ---
     rng = np.random.RandomState(0)
