@@ -115,6 +115,69 @@ def _lstm_scan(xw, h0, c0, w_h, reverse=False, unroll=1, mask=None):
     return jnp.swapaxes(out, 0, 1), (h, c)
 
 
+def _grouped_lstm_scan(xw, w_h, unroll=1, mask=None):
+    """One scan over G independent LSTM streams with per-group weights.
+
+    xw : (G, B, T, 4H) hoisted input projections
+    w_h : (G, H, 4H) per-group recurrent weights
+    mask : optional (G, B, T) validity mask (same semantics as
+           :func:`_lstm_scan`)
+
+    The step body runs ONE batched matmul ``(G, B, H) @ (G, H, 4H)``
+    instead of G sequential scans' ``(B, H) @ (H, 4H)`` — same FLOPs, but
+    1/G the sequential scan steps and per-step launch overhead. This is
+    how :class:`FastBiLSTM` runs its forward+backward directions as a
+    single scan (the backward stream is time-flipped into a forward one):
+    the recurrence is the measured training wall of the flagship
+    (RESULTS.md: BiLSTM scans leave the MXU latency-bound at recipe
+    batches), and halving the number of sequential steps attacks exactly
+    that. Gate math is identical to :func:`_lstm_scan`.
+    """
+
+    hidden = w_h.shape[-2]
+
+    def step(carry, inputs):
+        h, c = carry  # (G, B, H)
+        if mask is None:
+            x_proj = inputs
+        else:
+            x_proj, m = inputs
+
+        gates = x_proj + jnp.einsum('gbh,gho->gbo', h, w_h.astype(h.dtype),
+                                    preferred_element_type=jnp.float32)
+
+        i = jax.nn.sigmoid(gates[..., 0 * hidden: 1 * hidden])
+        f = jax.nn.sigmoid(gates[..., 1 * hidden: 2 * hidden])
+        g = jnp.tanh(gates[..., 2 * hidden: 3 * hidden])
+        o = jax.nn.sigmoid(gates[..., 3 * hidden: 4 * hidden])
+
+        c_new = (f * c.astype(jnp.float32) + i * g).astype(c.dtype)
+        h_new = (o * jnp.tanh(c_new.astype(jnp.float32))).astype(h.dtype)
+
+        if mask is None:
+            return (h_new, c_new), h_new
+
+        m = m[..., None]
+        c_new = jnp.where(m, c_new, c)
+        h_keep = jnp.where(m, h_new, h)
+        h_out = jnp.where(m, h_new, jnp.zeros_like(h_new))
+
+        return (h_keep, c_new), h_out
+
+    # Scan over time: (T, G, B, 4H)
+    xw_t = jnp.moveaxis(xw, 2, 0)
+    xs = xw_t if mask is None else (xw_t, jnp.moveaxis(mask, 2, 0))
+
+    zeros = jnp.zeros(xw.shape[:2] + (hidden,), dtype=xw.dtype)
+    h0 = _match_varying(zeros, xw)
+    c0 = _match_varying(jnp.zeros_like(zeros), xw)
+
+    (h, c), out = jax.lax.scan(step, (h0, c0), xs, unroll=unroll)
+
+    # (T, G, B, H) -> (G, B, T, H)
+    return jnp.moveaxis(out, 0, 2), (h, c)
+
+
 def lengths_to_mask(lengths, num_frames):
     """(B,) valid lengths -> (B, T) boolean validity mask."""
 
@@ -202,14 +265,21 @@ class FastBiLSTM(nn.Module):
 
                 return jnp.concatenate([out_f, out_b], axis=-1)
 
-        zeros = jnp.zeros((batch, hidden), dtype=xw_f.dtype)
+        # Both directions in ONE scan: the backward direction is a forward
+        # scan over the time-flipped projections (with a time-flipped mask,
+        # padded steps leave the carry untouched either way), so stacking
+        # [fwd, flipped-bwd] on a group axis halves the sequential step
+        # count — the recurrence's step count, not its FLOPs, is what
+        # bounds training throughput at recipe batches (RESULTS.md).
+        xw = jnp.stack([xw_f, jnp.flip(xw_b, axis=1)])
+        w_h = jnp.stack([w_h_f, w_h_b])
 
-        mask = None if lengths is None else lengths_to_mask(lengths,
-                                                            inputs.shape[1])
+        if lengths is None:
+            mask = None
+        else:
+            m = lengths_to_mask(lengths, inputs.shape[1])
+            mask = jnp.stack([m, jnp.flip(m, axis=1)])
 
-        out_f, _ = _lstm_scan(xw_f, zeros, zeros, w_h_f, unroll=self.unroll,
-                              mask=mask)
-        out_b, _ = _lstm_scan(xw_b, zeros, zeros, w_h_b, reverse=True,
-                              unroll=self.unroll, mask=mask)
+        out, _ = _grouped_lstm_scan(xw, w_h, unroll=self.unroll, mask=mask)
 
-        return jnp.concatenate([out_f, out_b], axis=-1)
+        return jnp.concatenate([out[0], jnp.flip(out[1], axis=1)], axis=-1)

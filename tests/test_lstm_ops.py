@@ -116,3 +116,41 @@ def test_fastlstm_gradients(key):
     leaves = jax.tree_util.tree_leaves(grads)
     assert all(np.all(np.isfinite(np.asarray(g))) for g in leaves)
     assert sum(float(jnp.sum(jnp.abs(g))) for g in leaves) > 0
+
+
+def test_fused_direction_scan_matches_sequential_scans():
+    """FastBiLSTM's single grouped scan == two sequential direction scans."""
+
+    import jax
+    import jax.numpy as jnp
+
+    from amt_tools_tpu.ops.lstm import FastBiLSTM, _lstm_scan, lengths_to_mask
+
+    rng = np.random.RandomState(0)
+    batch, frames, feat, hidden = 3, 11, 6, 5
+
+    x = jnp.asarray(rng.randn(batch, frames, feat).astype(np.float32))
+    lengths = jnp.asarray([11, 7, 4])
+
+    model = FastBiLSTM(features=hidden)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    p = variables['params']
+
+    for lens in (None, lengths):
+        fused = model.apply(variables, x, lengths=lens, allow_pallas=False)
+
+        # Reference: the pre-fusion formulation, direction by direction
+        xw_f = x @ p['input_proj_fwd']['kernel'] + p['input_proj_fwd']['bias']
+        xw_b = x @ p['input_proj_bwd']['kernel'] + p['input_proj_bwd']['bias']
+        zeros = jnp.zeros((batch, hidden), dtype=x.dtype)
+        mask = None if lens is None else lengths_to_mask(lens, frames)
+
+        out_f, _ = _lstm_scan(xw_f, zeros, zeros,
+                              p['recurrent_kernel_fwd'], mask=mask)
+        out_b, _ = _lstm_scan(xw_b, zeros, zeros,
+                              p['recurrent_kernel_bwd'], reverse=True,
+                              mask=mask)
+        expected = jnp.concatenate([out_f, out_b], axis=-1)
+
+        np.testing.assert_allclose(np.asarray(fused), np.asarray(expected),
+                                   rtol=1e-6, atol=1e-6)
