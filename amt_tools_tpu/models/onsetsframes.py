@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from .. import tools
-from ..ops.lstm import FastLSTM, FastBiLSTM
+from ..ops.lstm import FastLSTM, FastBiLSTM, GroupedBiLSTM
 from ..ops.qconv import Int8Conv, Int8Dense
 from .common import TranscriptionModel, LogisticBank, RegressionBank
 
@@ -39,6 +39,8 @@ __all__ = [
     'OnlineLanguageModel',
     'fuse_acoustic_variables',
     'unfuse_acoustic_variables',
+    'fuse_lm_variables',
+    'unfuse_lm_variables',
 ]
 
 
@@ -382,6 +384,72 @@ def unfuse_acoustic_variables(variables, head_names, grouped_name='grouped_am'):
     return out
 
 
+def fuse_lm_variables(variables, streams=('onset', 'offset'),
+                      grouped_name='group_lm'):
+    """Per-head LanguageModel variables -> the grouped single-scan layout.
+
+    Stacks each ``<name>_lm`` subtree's FastBiLSTM parameters on a new
+    leading stream axis under ``grouped_name`` (the layout
+    ``OnsetsFrames2(fused_lms=True)`` expects; pass
+    ``model._fused_lm_streams`` for the stream order). Returns a new
+    variables dict; inverse: :func:`unfuse_lm_variables`.
+    """
+
+    out = {}
+    for collection, tree in variables.items():
+        tree = dict(tree)
+        lms = [tree.pop(f'{name}_lm') for name in streams
+               if f'{name}_lm' in tree]
+
+        if not lms:
+            out[collection] = tree
+            continue
+
+        lms = [lm['FastBiLSTM_0'] for lm in lms]
+
+        fused = {}
+        for direction in ('fwd', 'bwd'):
+            fused[f'input_proj_{direction}_kernel'] = jnp.stack(
+                [lm[f'input_proj_{direction}']['kernel'] for lm in lms])
+            fused[f'input_proj_{direction}_bias'] = jnp.stack(
+                [lm[f'input_proj_{direction}']['bias'] for lm in lms])
+            fused[f'recurrent_kernel_{direction}'] = jnp.stack(
+                [lm[f'recurrent_kernel_{direction}'] for lm in lms])
+
+        tree[grouped_name] = fused
+        out[collection] = tree
+
+    return out
+
+
+def unfuse_lm_variables(variables, streams=('onset', 'offset'),
+                        grouped_name='group_lm'):
+    """Inverse of :func:`fuse_lm_variables`: grouped -> per-head layout."""
+
+    out = {}
+    for collection, tree in variables.items():
+        tree = dict(tree)
+        fused = tree.pop(grouped_name, None)
+
+        if fused is None:
+            out[collection] = tree
+            continue
+
+        for i, name in enumerate(streams):
+            lm = {}
+            for direction in ('fwd', 'bwd'):
+                lm[f'input_proj_{direction}'] = {
+                    'kernel': fused[f'input_proj_{direction}_kernel'][i],
+                    'bias': fused[f'input_proj_{direction}_bias'][i]}
+                lm[f'recurrent_kernel_{direction}'] = \
+                    fused[f'recurrent_kernel_{direction}'][i]
+            tree[f'{name}_lm'] = {'FastBiLSTM_0': lm}
+
+        out[collection] = tree
+
+    return out
+
+
 def _head_slice(leaf, index, num_heads):
     """Slice head ``index``'s channels out of a channel-concatenated leaf."""
 
@@ -451,6 +519,11 @@ class OnsetsFrames(TranscriptionModel):
     # GroupedAcousticModel for when this wins and when it loses).
     # fuse/unfuse_acoustic_variables convert checkpoints between layouts.
     fused_heads: bool = False
+    # Run the independent language models (onset/offset/velocity on V2) as
+    # ONE grouped scan (ops.lstm.GroupedBiLSTM): identical math, 1/S the
+    # sequential recurrence steps — a training-throughput layout.
+    # fuse/unfuse_lm_variables convert checkpoints between layouts.
+    fused_lms: bool = False
 
     @property
     def head_names(self):
@@ -517,6 +590,13 @@ class OnsetsFrames(TranscriptionModel):
         return {name: getattr(self, f'{name}_am')(feats, train, lengths)
                 for name in self.head_names}
 
+    @property
+    def _fused_lm_streams(self):
+        """Head order for the grouped-LM layout; None = not fusable (V1's
+        only independent LM is the onset head's, nothing to group)."""
+
+        return None
+
     def setup(self):
         if self.model_complexity < 2:
             raise ValueError('OnsetsFrames requires model_complexity >= 2 '
@@ -524,7 +604,17 @@ class OnsetsFrames(TranscriptionModel):
 
         self._setup_acoustic()
 
-        self.onset_lm = LanguageModel(self.dim_am, self.dim_lm, dtype=self.dtype)
+        if self.fused_lms:
+            if self._fused_lm_streams is None:
+                raise ValueError('fused_lms requires a model with multiple '
+                                 'independent language models '
+                                 '(OnsetsFrames2); V1 has only the onset LM.')
+            self.group_lm = GroupedBiLSTM(features=self.dim_lm // 2,
+                                          streams=len(self._fused_lm_streams),
+                                          dtype=self.dtype)
+        else:
+            self.onset_lm = LanguageModel(self.dim_am, self.dim_lm,
+                                          dtype=self.dtype)
         self.onset_out = LogisticBank(dim_in=self.dim_lm, dim_out=self.dim_out)
 
         self.pitch_out = LogisticBank(dim_in=self.dim_am, dim_out=self.dim_out)
@@ -619,10 +709,19 @@ class OnsetsFrames2(OnsetsFrames):
 
         return 3 * self.dim_out
 
+    @property
+    def _fused_lm_streams(self):
+        if self.estimate_velocity:
+            return ('onset', 'offset', 'velocity')
+
+        return ('onset', 'offset')
+
     def setup(self):
         super().setup()
 
-        self.offset_lm = LanguageModel(self.dim_am, self.dim_lm, dtype=self.dtype)
+        if not self.fused_lms:
+            self.offset_lm = LanguageModel(self.dim_am, self.dim_lm,
+                                           dtype=self.dtype)
         self.offset_out = LogisticBank(dim_in=self.dim_lm, dim_out=self.dim_out)
 
         if self.estimate_velocity:
@@ -632,10 +731,27 @@ class OnsetsFrames2(OnsetsFrames):
             # tone decays, so a per-frame dense readout cannot recover the
             # struck amplitude deep into a long note — the recurrence
             # carries it (measured: within-tolerance 0.37 -> see RESULTS.md)
-            self.velocity_lm = LanguageModel(self.dim_am, self.dim_lm,
-                                             dtype=self.dtype)
+            if not self.fused_lms:
+                self.velocity_lm = LanguageModel(self.dim_am, self.dim_lm,
+                                                 dtype=self.dtype)
             self.velocity_out = RegressionBank(dim_in=self.dim_lm,
                                                dim_out=self.dim_out)
+
+    def _lm_outputs(self, emb, train, lengths):
+        """Per-head LM features: grouped single scan or per-head modules."""
+
+        streams = self._fused_lm_streams
+
+        if self.fused_lms:
+            stacked = jnp.stack([emb[name] for name in streams])
+            out = self.group_lm(stacked, lengths=lengths)
+
+            return {name: out[i] for i, name in enumerate(streams)}
+
+        modules = {name: getattr(self, f'{name}_lm') for name in streams}
+
+        return {name: modules[name](emb[name], train, lengths=lengths)
+                for name in streams}
 
     def __call__(self, feats, train=False, lengths=None):
         output = {}
@@ -644,17 +760,16 @@ class OnsetsFrames2(OnsetsFrames):
 
         multi_pitch = self.pitch_out(emb['pitch'])
 
-        onsets = self.onset_out(self.onset_lm(emb['onset'], train,
-                                              lengths=lengths))
+        lm = self._lm_outputs(emb, train, lengths)
+
+        onsets = self.onset_out(lm['onset'])
         output[tools.KEY_ONSETS] = onsets
 
-        offsets = self.offset_out(self.offset_lm(emb['offset'], train,
-                                                 lengths=lengths))
+        offsets = self.offset_out(lm['offset'])
         output[tools.KEY_OFFSETS] = offsets
 
         if self.estimate_velocity:
-            output[tools.KEY_VELOCITY] = self.velocity_out(
-                self.velocity_lm(emb['velocity'], train, lengths=lengths))
+            output[tools.KEY_VELOCITY] = self.velocity_out(lm['velocity'])
 
         if self.detach_heads:
             onsets = jax.lax.stop_gradient(onsets)

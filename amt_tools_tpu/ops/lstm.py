@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-__all__ = ['FastLSTM', 'FastBiLSTM', 'lengths_to_mask']
+__all__ = ['FastLSTM', 'FastBiLSTM', 'GroupedBiLSTM', 'lengths_to_mask']
 
 
 def _match_varying(value, like):
@@ -283,3 +283,89 @@ class FastBiLSTM(nn.Module):
         out, _ = _grouped_lstm_scan(xw, w_h, unroll=self.unroll, mask=mask)
 
         return jnp.concatenate([out[0], jnp.flip(out[1], axis=1)], axis=-1)
+
+
+def _stacked_orthogonal(key, shape, dtype=jnp.float32):
+    """Independent orthogonal (H, 4H) matrices stacked on a leading axis."""
+
+    init = nn.initializers.orthogonal()
+
+    return jnp.stack([init(k, shape[1:], dtype)
+                      for k in jax.random.split(key, shape[0])])
+
+
+class GroupedBiLSTM(nn.Module):
+    """S independent BiLSTMs sharing ONE scan: (S, B, T, E) -> (S, B, T, 2H).
+
+    The flagship's independent language models (onset / offset / velocity —
+    same shapes, no data dependencies) each cost a full sequential
+    recurrence; grouping them stacks all S streams' two directions into a
+    single scan of batched ``(2S, B, H) @ (2S, H, 4H)`` recurrent matmuls —
+    1/S the sequential step count of S separate :class:`FastBiLSTM` calls
+    for identical math (the step count, not the FLOPs, bounds training
+    throughput at recipe batches, RESULTS.md).
+
+    Parameters are the per-stream stacks of FastBiLSTM's
+    (``input_proj_{fwd,bwd}_{kernel,bias}``, ``recurrent_kernel_{fwd,bwd}``
+    with a leading stream axis); ``models.fuse_lm_variables`` /
+    ``unfuse_lm_variables`` convert checkpoints to/from the per-stream
+    layout. Scan-only (no Pallas path): this is a training-throughput
+    layout; serve checkpoints through the unfused layout for the fused
+    Pallas recurrence.
+    """
+
+    features: int
+    streams: int = 2
+    unroll: int = 8
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, inputs, lengths=None):
+        streams, _, frames, dim_in = inputs.shape
+        if streams != self.streams:
+            raise ValueError(f'expected {self.streams} streams, '
+                             f'got input shape {inputs.shape}')
+        hidden = self.features
+
+        dense_init = nn.initializers.variance_scaling(
+            1.0, 'fan_in', 'truncated_normal', batch_axis=(0,))
+
+        compute_dtype = self.dtype if self.dtype is not None else inputs.dtype
+
+        def proj(name):
+            kernel = self.param(f'input_proj_{name}_kernel', dense_init,
+                                (streams, dim_in, 4 * hidden))
+            bias = self.param(f'input_proj_{name}_bias',
+                              nn.initializers.zeros,
+                              (streams, 4 * hidden))
+            xw = jnp.einsum('sbte,seo->sbto', inputs.astype(compute_dtype),
+                            kernel.astype(compute_dtype))
+
+            return xw + bias.astype(compute_dtype)[:, None, None, :]
+
+        xw_f = proj('fwd')
+        xw_b = proj('bwd')
+
+        w_h_f = self.param('recurrent_kernel_fwd', _stacked_orthogonal,
+                           (streams, hidden, 4 * hidden))
+        w_h_b = self.param('recurrent_kernel_bwd', _stacked_orthogonal,
+                           (streams, hidden, 4 * hidden))
+
+        # All streams' directions in one scan (backward = forward over the
+        # time-flipped projections, exactly as in FastBiLSTM)
+        xw = jnp.concatenate([xw_f, jnp.flip(xw_b, axis=2)], axis=0)
+        w_h = jnp.concatenate([w_h_f, w_h_b], axis=0)
+
+        if lengths is None:
+            mask = None
+        else:
+            m = lengths_to_mask(lengths, frames)
+            mask = jnp.concatenate(
+                [jnp.broadcast_to(m, (streams,) + m.shape),
+                 jnp.broadcast_to(jnp.flip(m, axis=1),
+                                  (streams,) + m.shape)], axis=0)
+
+        out, _ = _grouped_lstm_scan(xw, w_h, unroll=self.unroll, mask=mask)
+
+        return jnp.concatenate([out[:streams],
+                                jnp.flip(out[streams:], axis=2)], axis=-1)

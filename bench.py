@@ -291,7 +291,7 @@ def bench_train():
     dim_out = profile.get_range_len()
     peak = profiling.peak_flops(jax.devices()[0])
 
-    def one_config(batch_size, bf16, steps=100, remat=False):
+    def one_config(batch_size, bf16, steps=100, remat=False, fused_lms=False):
         # NOTE: timings MUST amortize over a long step horizon. Through the
         # axon tunnel, short windows (and even per-step block_until_ready)
         # report impossibly fast times (>100% MFU) from queue pipelining;
@@ -299,6 +299,7 @@ def bench_train():
         # (cross-checked against loss-decreasing 200-step runs).
         model = OnsetsFrames2(dim_in=229, profile=profile,
                               model_complexity=3, remat=remat,
+                              fused_lms=fused_lms,
                               dtype=jnp.bfloat16 if bf16 else None)
         optimizer = optax.adam(6e-4)
 
@@ -335,7 +336,7 @@ def bench_train():
         steps_per_sec = steps / elapsed
         mfu = flops * steps_per_sec / peak if peak else 0.0
         _log(f'train batch {batch_size:3d} {"bf16" if bf16 else "f32 "}'
-             f'{" remat" if remat else ""}: '
+             f'{" remat" if remat else ""}{" fused-lm" if fused_lms else ""}: '
              f'{steps_per_sec:6.2f} steps/s, '
              f'{steps_per_sec * batch_size * num_frames * 512 / 16000:9.1f}x RT, '
              f'MFU {mfu * 100:5.2f}%')
@@ -374,6 +375,27 @@ def bench_train():
             _log(f'remat batch {batch_size} failed ({type(exc).__name__}); '
                  f'backing off')
 
+    # Grouped language models: onset+offset LMs share ONE scan (and each
+    # BiLSTM's directions already share one) — attacks the measured wall
+    # (the recurrence's sequential step count at recipe batches)
+    fused_sps = fused_mfu = 0.0
+    try:
+        fused_sps, fused_mfu = one_config(8, bf16=True, fused_lms=True)
+    except Exception as exc:
+        _log(f'fused-lm config failed ({type(exc).__name__}: {exc})')
+
+    fused_remat_sps = 0.0
+    fused_remat_batch = 0
+    for batch_size in (32, 16):
+        try:
+            fused_remat_sps, _ = one_config(batch_size, bf16=True, remat=True,
+                                            fused_lms=True, steps=60)
+            fused_remat_batch = batch_size
+            break
+        except Exception as exc:
+            _log(f'fused-lm remat batch {batch_size} failed '
+                 f'({type(exc).__name__}); backing off')
+
     result = {
         'metric': 'train_steps_per_sec',
         'value': round(recipe_sps, 3),
@@ -388,6 +410,10 @@ def bench_train():
         'remat_batch': remat_batch,
         'remat_steps_per_sec': round(remat_sps, 3),
         'remat_mfu_pct': round(remat_mfu * 100, 2),
+        'fused_lms_steps_per_sec': round(fused_sps, 3),
+        'fused_lms_mfu_pct': round(fused_mfu * 100, 2),
+        'fused_lms_remat_batch': fused_remat_batch,
+        'fused_lms_remat_steps_per_sec': round(fused_remat_sps, 3),
     }
     print(json.dumps(result))
 
