@@ -98,6 +98,11 @@ def config():
     # or 'blocks' (per conv block; lowest memory). false to disable.
     remat = False
 
+    # Run the independent language models (onset/offset/velocity) as one
+    # grouped scan: identical math, fewer sequential recurrence steps.
+    # Serve/export such checkpoints via models.unfuse_lm_variables.
+    fused_lms = False
+
     # The random seed for this experiment
     seed = 0
 
@@ -107,7 +112,7 @@ def onsets_frames_2_run(sample_rate, hop_length, num_frames, iterations,
                         checkpoints, batch_size, learning_rate, warmup_steps,
                         estimate_velocity, data_parallel, reset_data,
                         maestro_base_dir, maps_base_dir, bf16,
-                        accum_steps, remat, seed, root_dir):
+                        accum_steps, remat, fused_lms, seed, root_dir):
     tools.seed_everything(seed)
 
     profile = tools.PianoProfile()
@@ -194,6 +199,7 @@ def onsets_frames_2_run(sample_rate, hop_length, num_frames, iterations,
                                  detach_heads=True,
                                  estimate_velocity=estimate_velocity,
                                  remat=remat,
+                                 fused_lms=fused_lms,
                                  dtype=jnp.bfloat16 if bf16 else None)
 
     optimizer = optax.adam(learning_rate)

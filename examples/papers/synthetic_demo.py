@@ -100,6 +100,11 @@ def config():
     # or 'blocks' (per conv block; lowest memory). false to disable.
     remat = False
 
+    # Run the independent language models (onset/offset/velocity) as one
+    # grouped scan: identical math, fewer sequential recurrence steps.
+    # Serve/export such checkpoints via models.unfuse_lm_variables.
+    fused_lms = False
+
     # The random seed for this experiment
     seed = 0
 
@@ -110,7 +115,8 @@ def synthetic_demo(sample_rate, hop_length, num_frames, iterations,
                    num_train_tracks, num_test_tracks, track_duration,
                    notes_per_track, noise_snr_db, reverb_time,
                    velocity_range, timbre_jitter, estimate_velocity,
-                   data_parallel, bf16, accum_steps, remat, seed, root_dir):
+                   data_parallel, bf16, accum_steps, remat, fused_lms,
+                   seed, root_dir):
     difficulty = dict(noise_snr_db=noise_snr_db, reverb_time=reverb_time,
                       velocity_range=(tuple(velocity_range)
                                       if velocity_range else None),
@@ -158,11 +164,13 @@ def synthetic_demo(sample_rate, hop_length, num_frames, iterations,
         model = OnsetsFrames2(dim_in=data_proc.get_feature_size(),
                               profile=profile, model_complexity=2,
                               estimate_velocity=True, remat=remat,
-                              dtype=dtype)
+                              fused_lms=fused_lms, dtype=dtype)
     else:
+        # (fused_lms needs OnsetsFrames2's multiple independent LMs; the
+        # model raises with a clear message if requested here)
         model = OnsetsFrames(dim_in=data_proc.get_feature_size(),
                              profile=profile, model_complexity=2,
-                             remat=remat, dtype=dtype)
+                             remat=remat, fused_lms=fused_lms, dtype=dtype)
 
     mesh = get_mesh() if data_parallel else None
 
