@@ -232,6 +232,11 @@ def port_reference_checkpoint(model, source):
                 'the reference has no velocity stack (its TODO at '
                 'onsetsframes.py:13); port into estimate_velocity=False or '
                 'initialize the velocity head separately and merge.')
+        if getattr(model, 'fused_lms', False):
+            raise ValueError(
+                'port into a fused_lms=False model, then convert with '
+                'models.fuse_lm_variables (the reference stores per-head '
+                'language models).')
 
         return port_onsetsframes_state_dict(source)
 

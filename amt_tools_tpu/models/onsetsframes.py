@@ -398,14 +398,31 @@ def fuse_lm_variables(variables, streams=('onset', 'offset'),
     out = {}
     for collection, tree in variables.items():
         tree = dict(tree)
-        lms = [tree.pop(f'{name}_lm') for name in streams
-               if f'{name}_lm' in tree]
+        present = [name for name in streams if f'{name}_lm' in tree]
 
-        if not lms:
+        if not present:
             out[collection] = tree
             continue
 
-        lms = [lm['FastBiLSTM_0'] for lm in lms]
+        if len(present) != len(streams):
+            missing = sorted(set(streams) - set(present))
+            raise ValueError(f'variables hold LM subtrees for {present} but '
+                             f'not {missing}; pass the model\'s stream order '
+                             f'(model._fused_lm_streams) as `streams`')
+
+        # A fusable LM left out of `streams` would silently keep the
+        # per-head layout for that stream (and the fused model would fail
+        # to find it under group_lm) — e.g. the default 2-stream order on
+        # an estimate_velocity=True tree
+        leftover = [name for name in ('onset', 'offset', 'velocity')
+                    if name not in streams and f'{name}_lm' in tree]
+        if leftover:
+            raise ValueError(f'variables also hold fusable LM subtrees '
+                             f'{leftover} not named in `streams`; pass the '
+                             f'model\'s stream order '
+                             f'(model._fused_lm_streams)')
+
+        lms = [tree.pop(f'{name}_lm')['FastBiLSTM_0'] for name in streams]
 
         fused = {}
         for direction in ('fwd', 'bwd'):
@@ -434,6 +451,14 @@ def unfuse_lm_variables(variables, streams=('onset', 'offset'),
         if fused is None:
             out[collection] = tree
             continue
+
+        stacked = fused['recurrent_kernel_fwd'].shape[0]
+        if stacked != len(streams):
+            raise ValueError(f'{grouped_name} holds {stacked} streams but '
+                             f'`streams` names {len(streams)} '
+                             f'({tuple(streams)}); pass the model\'s stream '
+                             f'order (model._fused_lm_streams) so no trained '
+                             f'LM is silently dropped')
 
         for i, name in enumerate(streams):
             lm = {}
@@ -854,6 +879,10 @@ class OnsetsFramesOnline(OnsetsFrames):
     def setup(self):
         if self.model_complexity < 2:
             raise ValueError('OnsetsFramesOnline requires model_complexity >= 2.')
+        if self.fused_lms:
+            raise ValueError('fused_lms is not supported by the online model '
+                             '(its LMs thread streaming carries and V1-style '
+                             'heads leave nothing independent to group).')
 
         self._setup_acoustic()
 

@@ -55,20 +55,49 @@ def _match_varying(value, like):
     return jax.lax.pvary(value, missing)
 
 
+def _lstm_gates(gates, h, c):
+    """The LSTM cell update from pre-activation gates ([i, f, g, o] order).
+
+    THE single copy of the gate numerics: both scan variants (and their
+    exactness guarantees) route through it. Gate math accumulates in f32;
+    results cast back to the carry dtype so low-precision (bf16)
+    activations keep a consistent scan carry.
+    """
+
+    hidden = h.shape[-1]
+
+    i = jax.nn.sigmoid(gates[..., 0 * hidden: 1 * hidden])
+    f = jax.nn.sigmoid(gates[..., 1 * hidden: 2 * hidden])
+    g = jnp.tanh(gates[..., 2 * hidden: 3 * hidden])
+    o = jax.nn.sigmoid(gates[..., 3 * hidden: 4 * hidden])
+
+    c_new = (f * c.astype(jnp.float32) + i * g).astype(c.dtype)
+    h_new = (o * jnp.tanh(c_new.astype(jnp.float32))).astype(h.dtype)
+
+    return h_new, c_new
+
+
+def _masked_step_outputs(h_new, c_new, h, c, m):
+    """Masked-step semantics shared by both scans: padded steps leave the
+    carry unchanged and output zeros (bucketed static-shape evaluation is
+    EXACT on valid frames; reverse scans effectively start at each
+    sequence's true end)."""
+
+    c_keep = jnp.where(m, c_new, c)
+    h_keep = jnp.where(m, h_new, h)
+    h_out = jnp.where(m, h_new, jnp.zeros_like(h_new))
+
+    return (h_keep, c_keep), h_out
+
+
 def _lstm_scan(xw, h0, c0, w_h, reverse=False, unroll=1, mask=None):
     """Scan the recurrent half of an LSTM over hoisted input projections.
 
     xw : (B, T, 4H) input projections (already includes the bias)
     h0, c0 : (B, H) initial state
     w_h : (H, 4H) recurrent weights
-    mask : optional (B, T) validity mask — padded steps leave the carry
-           unchanged and output zeros, so bucketed static-shape evaluation
-           is EXACT for the valid frames (reverse scans effectively start at
-           each sequence's true end).
-    Gate order follows flax convention: [i, f, g, o].
+    mask : optional (B, T) validity mask (see :func:`_masked_step_outputs`).
     """
-
-    hidden = h0.shape[-1]
 
     def step(carry, inputs):
         h, c = carry
@@ -77,28 +106,14 @@ def _lstm_scan(xw, h0, c0, w_h, reverse=False, unroll=1, mask=None):
         else:
             x_proj, m = inputs
 
-        # Gate math accumulates in f32; results cast back to the carry dtype
-        # so low-precision (bf16) activations keep a consistent scan carry
         gates = x_proj + jnp.dot(h, w_h.astype(h.dtype),
                                  preferred_element_type=jnp.float32)
-
-        i = jax.nn.sigmoid(gates[..., 0 * hidden: 1 * hidden])
-        f = jax.nn.sigmoid(gates[..., 1 * hidden: 2 * hidden])
-        g = jnp.tanh(gates[..., 2 * hidden: 3 * hidden])
-        o = jax.nn.sigmoid(gates[..., 3 * hidden: 4 * hidden])
-
-        c_new = (f * c.astype(jnp.float32) + i * g).astype(c.dtype)
-        h_new = (o * jnp.tanh(c_new.astype(jnp.float32))).astype(h.dtype)
+        h_new, c_new = _lstm_gates(gates, h, c)
 
         if mask is None:
             return (h_new, c_new), h_new
 
-        m = m[:, None]
-        c_new = jnp.where(m, c_new, c)
-        h_keep = jnp.where(m, h_new, h)
-        h_out = jnp.where(m, h_new, jnp.zeros_like(h_new))
-
-        return (h_keep, c_new), h_out
+        return _masked_step_outputs(h_new, c_new, h, c, m[:, None])
 
     # Scan over time: (T, B, 4H)
     xw_t = jnp.swapaxes(xw, 0, 1)
@@ -131,7 +146,8 @@ def _grouped_lstm_scan(xw, w_h, unroll=1, mask=None):
     the recurrence is the measured training wall of the flagship
     (RESULTS.md: BiLSTM scans leave the MXU latency-bound at recipe
     batches), and halving the number of sequential steps attacks exactly
-    that. Gate math is identical to :func:`_lstm_scan`.
+    that. Gate numerics are :func:`_lstm_gates`, shared with
+    :func:`_lstm_scan`.
     """
 
     hidden = w_h.shape[-2]
@@ -145,24 +161,12 @@ def _grouped_lstm_scan(xw, w_h, unroll=1, mask=None):
 
         gates = x_proj + jnp.einsum('gbh,gho->gbo', h, w_h.astype(h.dtype),
                                     preferred_element_type=jnp.float32)
-
-        i = jax.nn.sigmoid(gates[..., 0 * hidden: 1 * hidden])
-        f = jax.nn.sigmoid(gates[..., 1 * hidden: 2 * hidden])
-        g = jnp.tanh(gates[..., 2 * hidden: 3 * hidden])
-        o = jax.nn.sigmoid(gates[..., 3 * hidden: 4 * hidden])
-
-        c_new = (f * c.astype(jnp.float32) + i * g).astype(c.dtype)
-        h_new = (o * jnp.tanh(c_new.astype(jnp.float32))).astype(h.dtype)
+        h_new, c_new = _lstm_gates(gates, h, c)
 
         if mask is None:
             return (h_new, c_new), h_new
 
-        m = m[..., None]
-        c_new = jnp.where(m, c_new, c)
-        h_keep = jnp.where(m, h_new, h)
-        h_out = jnp.where(m, h_new, jnp.zeros_like(h_new))
-
-        return (h_keep, c_new), h_out
+        return _masked_step_outputs(h_new, c_new, h, c, m[..., None])
 
     # Scan over time: (T, G, B, 4H)
     xw_t = jnp.moveaxis(xw, 2, 0)

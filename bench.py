@@ -173,14 +173,11 @@ def main(quant=False):
         # pipeline reuses the quant pipeline's (calibrated) variables — the
         # parameter trees are identical — so the comparison isolates
         # quantization error rather than mixing in calibration drift.
-        import jax.numpy as jnp
-
-        from amt_tools_tpu.models import OnsetsFrames2
         from amt_tools_tpu.serving import TranscriptionPipeline
 
         _log('building bf16 reference pipeline for agreement check...')
-        float_model = OnsetsFrames2(dim_in=229, profile=pipeline.model.profile,
-                                    model_complexity=3, dtype=jnp.bfloat16)
+        # flax modules are dataclasses: same config, only quant toggled off
+        float_model = pipeline.model.replace(quant_acoustic=False)
         ref_pipeline = TranscriptionPipeline(float_model, pipeline.variables,
                                              pipeline.data_proc,
                                              capacity=NOTE_CAPACITY)

@@ -116,3 +116,11 @@ def test_port_rejects_online_model(ref_of2):
 
     with pytest.raises(ValueError, match='unidirectional'):
         compat.port_reference_checkpoint(model, ref_of2.state_dict())
+
+
+def test_port_rejects_fused_lms_model(ref_of2):
+    model = OnsetsFrames2(dim_in=48, profile=PianoProfile(),
+                          model_complexity=2, fused_lms=True)
+
+    with pytest.raises(ValueError, match='fuse_lm_variables'):
+        compat.port_reference_checkpoint(model, ref_of2.state_dict())

@@ -93,3 +93,39 @@ def test_fused_lms_rejects_v1():
     with pytest.raises(ValueError, match='fused_lms'):
         model.init({'params': jax.random.PRNGKey(0),
                     'dropout': jax.random.PRNGKey(1)}, feats, train=False)
+
+
+def test_converters_validate_stream_arity():
+    profile = PianoProfile()
+    m = OnsetsFrames2(dim_in=48, profile=profile, model_complexity=2,
+                      estimate_velocity=True)
+
+    rng = np.random.RandomState(0)
+    feats = jnp.asarray(rng.rand(1, 6, 48, 1).astype(np.float32))
+    rngs = {'params': jax.random.PRNGKey(0), 'dropout': jax.random.PRNGKey(1)}
+    v = m.init(rngs, feats, train=False)
+
+    # 3 LM subtrees present, but only 2 streams named
+    with pytest.raises(ValueError, match='velocity'):
+        fuse_lm_variables(v, ('onset', 'offset'))
+
+    fused = fuse_lm_variables(v, m._fused_lm_streams)
+
+    # 3-stream group, but the default 2-stream order requested
+    with pytest.raises(ValueError, match='streams'):
+        unfuse_lm_variables(fused, ('onset', 'offset'))
+
+
+def test_fused_lms_rejected_by_online_model():
+    from amt_tools_tpu.models import OnsetsFramesOnline
+
+    profile = PianoProfile()
+    model = OnsetsFramesOnline(dim_in=48, profile=profile,
+                               model_complexity=2, fused_lms=True)
+
+    rng = np.random.RandomState(0)
+    feats = jnp.asarray(rng.rand(1, 6, 48, 1).astype(np.float32))
+
+    with pytest.raises(ValueError, match='online'):
+        model.init({'params': jax.random.PRNGKey(0),
+                    'dropout': jax.random.PRNGKey(1)}, feats, train=False)
