@@ -76,6 +76,14 @@ def config():
     # ~1.4x. Same recipe semantics either way.
     bf16 = False
 
+    # Gradient accumulation: microbatches per jitted step (one optimizer
+    # update per batch; peak activation memory of one microbatch)
+    accum_steps = 1
+
+    # Rematerialize the acoustic conv stacks: True (whole stack) or
+    # 'blocks' (per conv block; lowest memory). false to disable.
+    remat = False
+
     # The random seed for this experiment
     seed = 0
 
@@ -83,7 +91,8 @@ def config():
 @ex.automain
 def onsets_frames_run(sample_rate, hop_length, num_frames, iterations,
                       checkpoints, batch_size, learning_rate, data_parallel,
-                      reset_data, maps_base_dir, bf16, seed, root_dir):
+                      reset_data, maps_base_dir, bf16, accum_steps, remat,
+                      seed, root_dir):
     tools.seed_everything(seed)
 
     # Initialize the default piano profile
@@ -157,6 +166,7 @@ def onsets_frames_run(sample_rate, hop_length, num_frames, iterations,
                                 in_channels=data_proc.get_num_channels(),
                                 model_complexity=2,
                                 detach_heads=False,
+                                remat=remat,
                                 dtype=jnp.bfloat16 if bf16 else None)
 
     optimizer = optax.adam(learning_rate)
@@ -177,7 +187,8 @@ def onsets_frames_run(sample_rate, hop_length, num_frames, iterations,
                   estimator=validation_estimator,
                   evaluator=validation_evaluator,
                   rng=jax.random.PRNGKey(seed),
-                  mesh=mesh)
+                  mesh=mesh,
+                  accum_steps=accum_steps)
 
     print('Transcribing and evaluating test partition...')
 
