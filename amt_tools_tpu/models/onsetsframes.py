@@ -68,14 +68,14 @@ class AcousticModel(nn.Module):
     # the same Conv_N names), so float checkpoints load as-is.
     quant: bool = False
 
-    def _conv(self, features, name):
+    def _conv(self, features, name, quantize=True):
         """The conv for one block: float ``nn.Conv`` or int8 drop-in.
 
         Names are pinned explicitly so both variants produce the exact
         parameter tree auto-naming gives the float stack (Conv_0/1/2).
         """
 
-        if self.quant:
+        if self.quant and quantize:
             return Int8Conv(features, (3, 3), dtype=self.dtype, name=name)
 
         return nn.Conv(features, (3, 3), padding='SAME', dtype=self.dtype,
@@ -84,8 +84,13 @@ class AcousticModel(nn.Module):
     def _block1(self, x, mask, train):
         """conv + BN + ReLU (masked)."""
 
+        # conv1 stays float even under quant: with C_in = in_channels (1)
+        # its FLOPs are ~1/48 of conv2's, while quantizing the raw feature
+        # input adds a whole extra noise stage that BN then amplifies —
+        # measured on the calibrated-activity setup: skipping it moves
+        # int8-vs-float note agreement without measurable speed cost
         nf1 = 16 * self.model_complexity
-        x = self._conv(nf1, 'Conv_0')(x)
+        x = self._conv(nf1, 'Conv_0', quantize=False)(x)
         x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(x)
         x = nn.relu(x)
         return x if mask is None else x * mask

@@ -111,8 +111,11 @@ class Int8Dense(nn.Module):
     """Drop-in ``nn.Dense`` replacement computing the matmul in int8.
 
     Same parameters/names as ``nn.Dense`` (``kernel``: (in, out),
-    ``bias``: (out,)); per-output-column weight scales, per-sample dynamic
-    activation scales, int32 accumulation.
+    ``bias``: (out,)); per-output-column weight scales, per-ROW dynamic
+    activation scales, int32 accumulation. Unlike a conv (whose receptive
+    fields overlap, forcing one scale per sample), a dense layer contracts
+    over the feature axis only — every output row can carry its own scale,
+    so a loud frame never coarsens another frame's quantization grid.
     """
 
     features: int
@@ -127,13 +130,16 @@ class Int8Dense(nn.Module):
                           jnp.float32)
 
         w8, s_w = quantize_symmetric(kernel, axis=-1)
-        x8, s_x = quantize_symmetric(x, axis=0)
+
+        xf = x.astype(jnp.float32)
+        s_x = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0,
+                          jnp.finfo(jnp.float32).tiny)
+        x8 = jnp.clip(jnp.round(xf / s_x), -127, 127).astype(jnp.int8)
 
         acc = jax.lax.dot_general(
             x8, w8, (((x.ndim - 1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32)
 
-        s_x = s_x.reshape((-1,) + (1,) * (acc.ndim - 1))
         out = acc.astype(jnp.float32) * (s_x * s_w) + bias
         out_dtype = self.dtype if self.dtype is not None else jnp.float32
 

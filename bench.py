@@ -118,7 +118,11 @@ def main(quant=False):
     except Exception:
         pass
 
-    batch_size, clip_seconds, runs = 128, 60.0, 8
+    # Headline config; env overrides exist so code paths (incl. the int8
+    # agreement check) can be smoke-run on CPU at toy sizes before a chip run
+    batch_size = int(os.environ.get('AMT_BENCH_BATCH', 128))
+    clip_seconds = float(os.environ.get('AMT_BENCH_CLIP_SECONDS', 60.0))
+    runs = int(os.environ.get('AMT_BENCH_RUNS', 8))
 
     _log('building pipeline (initializing parameters)...')
     pipeline, audio = build_pipeline(batch_size, clip_seconds, quant=quant)
@@ -176,8 +180,8 @@ def main(quant=False):
         from amt_tools_tpu.serving import TranscriptionPipeline
 
         _log('building bf16 reference pipeline for agreement check...')
-        # flax modules are dataclasses: same config, only quant toggled off
-        float_model = pipeline.model.replace(quant_acoustic=False)
+        # Same model config with only quant toggled off (flax clone)
+        float_model = pipeline.model.clone(quant_acoustic=False)
         ref_pipeline = TranscriptionPipeline(float_model, pipeline.variables,
                                              pipeline.data_proc,
                                              capacity=NOTE_CAPACITY)
@@ -531,6 +535,30 @@ def bench_trained():
          f'{total_notes} notes/batch '
          f'({total_notes / batch_size:.1f}/clip; synthesized ~120/clip)')
 
+    # Int8 fidelity where it matters: TRAINED logits sit far from the 0.5
+    # threshold, unlike the calibrated-random headline whose activity is at
+    # the threshold by construction (a worst case for any perturbation —
+    # even f32 vs bf16 disagrees there, RESULTS.md). Same trained weights
+    # through the int8 pipeline, note-level agreement vs the bf16 decode.
+    _log('building int8 pipeline on the trained weights...')
+    quant_pipeline = TranscriptionPipeline(
+        pipeline.model.clone(quant_acoustic=True), variables,
+        pipeline.data_proc, capacity=NOTE_CAPACITY)
+    q_elapsed, q_notes = measure(quant_pipeline, audio, runs)
+    q_rtf = batch_size * clip_seconds * runs / q_elapsed
+
+    matched = total_q = 0
+    for (p_q, i_q), (p_r, i_r) in zip(q_notes, notes):
+        set_q = {(int(p), round(float(on), 4), round(float(off), 4))
+                 for p, (on, off) in zip(p_q, i_q)}
+        set_r = {(int(p), round(float(on), 4), round(float(off), 4))
+                 for p, (on, off) in zip(p_r, i_r)}
+        matched += len(set_q & set_r)
+        total_q += len(set_q)
+    f1 = 2 * matched / max(1, total_q + total_notes)
+    _log(f'int8 on trained weights: {q_rtf:.0f}x RT, note agreement F1 '
+         f'{f1:.4f} vs bf16 ({total_q} vs {total_notes} notes)')
+
     result = {
         'metric': 'trained_pipeline_realtime_factor',
         'value': round(rtf, 2),
@@ -538,6 +566,8 @@ def bench_trained():
         'vs_baseline': round(rtf / 100.0, 3),
         'mfu_pct': round(mfu * 100, 2),
         'notes_per_clip': round(total_notes / batch_size, 1),
+        'int8_realtime_factor': round(q_rtf, 2),
+        'int8_note_agreement_f1': round(f1, 4),
     }
     print(json.dumps(result))
 
