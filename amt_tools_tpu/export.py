@@ -100,6 +100,7 @@ def export_serving(pipeline, num_samples, batch_size=8, platforms=None):
 
     meta = {
         'format_version': 1,
+        'kind': 'serving',
         'num_samples': int(num_samples),
         'symbolic_batch': symbolic,
         'batch_size': None if symbolic else int(batch_size),
