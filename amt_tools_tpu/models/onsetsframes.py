@@ -551,7 +551,9 @@ class OnsetsFrames(TranscriptionModel):
     fused_heads: bool = False
     # Run the independent language models (onset/offset/velocity on V2) as
     # ONE grouped scan (ops.lstm.GroupedBiLSTM): identical math, 1/S the
-    # sequential recurrence steps — a training-throughput layout.
+    # sequential recurrence steps. Measured SLOWER on v5e at recipe shapes
+    # (the batched recurrent matmul lowers worse than per-head scans;
+    # RESULTS.md round 3) — kept opt-in for lowerings where grouping pays.
     # fuse/unfuse_lm_variables convert checkpoints between layouts.
     fused_lms: bool = False
 

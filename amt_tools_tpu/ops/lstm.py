@@ -139,15 +139,14 @@ def _grouped_lstm_scan(xw, w_h, unroll=1, mask=None):
            :func:`_lstm_scan`)
 
     The step body runs ONE batched matmul ``(G, B, H) @ (G, H, 4H)``
-    instead of G sequential scans' ``(B, H) @ (H, 4H)`` — same FLOPs, but
-    1/G the sequential scan steps and per-step launch overhead. This is
-    how :class:`FastBiLSTM` runs its forward+backward directions as a
-    single scan (the backward stream is time-flipped into a forward one):
-    the recurrence is the measured training wall of the flagship
-    (RESULTS.md: BiLSTM scans leave the MXU latency-bound at recipe
-    batches), and halving the number of sequential steps attacks exactly
-    that. Gate numerics are :func:`_lstm_gates`, shared with
-    :func:`_lstm_scan`.
+    instead of G sequential scans' ``(B, H) @ (H, 4H)`` — same FLOPs,
+    1/G the sequential scan steps and per-step launch overhead. Used by
+    :class:`GroupedBiLSTM` (the opt-in ``fused_lms`` layout). NOT used
+    inside a single BiLSTM: folding one layer's two directions into a
+    grouped scan measured slower than two plain scans on v5e (the batched
+    recurrent matmul lowers worse at these widths; chip A/B in
+    RESULTS.md round 3). Gate numerics are :func:`_lstm_gates`, shared
+    with :func:`_lstm_scan`.
     """
 
     hidden = w_h.shape[-2]
@@ -269,24 +268,26 @@ class FastBiLSTM(nn.Module):
 
                 return jnp.concatenate([out_f, out_b], axis=-1)
 
-        # Both directions in ONE scan: the backward direction is a forward
-        # scan over the time-flipped projections (with a time-flipped mask,
-        # padded steps leave the carry untouched either way), so stacking
-        # [fwd, flipped-bwd] on a group axis halves the sequential step
-        # count — the recurrence's step count, not its FLOPs, is what
-        # bounds training throughput at recipe batches (RESULTS.md).
-        xw = jnp.stack([xw_f, jnp.flip(xw_b, axis=1)])
-        w_h = jnp.stack([w_h_f, w_h_b])
+        # One scan per direction. Running both directions as ONE grouped
+        # scan (stack [fwd, flipped-bwd] on a group axis, halving the
+        # sequential step count) was measured SLOWER on v5e at every
+        # training shape that matters — chip A/B, same process: batch 8
+        # bf16 10.97 -> 7.62 steps/s, batch 32 bf16 3.13 -> 2.63, batch 32
+        # remat 2.56 -> 1.41, batch 8 f32 ~tie (RESULTS.md round 3). The
+        # batched (2, B, H) @ (2, H, 4H) recurrent matmul lowers worse
+        # than two plain (B, H) @ (H, 4H) steps at these widths, and the
+        # time-flips add bandwidth. Grouping pays only across INDEPENDENT
+        # streams (see GroupedBiLSTM / fused_lms).
+        mask = None if lengths is None else lengths_to_mask(lengths,
+                                                            inputs.shape[1])
 
-        if lengths is None:
-            mask = None
-        else:
-            m = lengths_to_mask(lengths, inputs.shape[1])
-            mask = jnp.stack([m, jnp.flip(m, axis=1)])
+        zeros = jnp.zeros((batch, hidden), dtype=xw_f.dtype)
+        out_f, _ = _lstm_scan(xw_f, zeros, zeros, w_h_f, unroll=self.unroll,
+                              mask=mask)
+        out_b, _ = _lstm_scan(xw_b, zeros, zeros, w_h_b, unroll=self.unroll,
+                              reverse=True, mask=mask)
 
-        out, _ = _grouped_lstm_scan(xw, w_h, unroll=self.unroll, mask=mask)
-
-        return jnp.concatenate([out[0], jnp.flip(out[1], axis=1)], axis=-1)
+        return jnp.concatenate([out_f, out_b], axis=-1)
 
 
 def _stacked_orthogonal(key, shape, dtype=jnp.float32):

@@ -376,9 +376,9 @@ def bench_train():
             _log(f'remat batch {batch_size} failed ({type(exc).__name__}); '
                  f'backing off')
 
-    # Grouped language models: onset+offset LMs share ONE scan (and each
-    # BiLSTM's directions already share one) — attacks the measured wall
-    # (the recurrence's sequential step count at recipe batches)
+    # Grouped language models: onset+offset LMs share ONE scan — attacks
+    # the recurrence's sequential step count, but measured SLOWER on v5e
+    # (RESULTS.md round 3); benched to keep the comparison honest
     fused_sps = fused_mfu = 0.0
     try:
         fused_sps, fused_mfu = one_config(8, bf16=True, fused_lms=True)

@@ -99,7 +99,8 @@ def config():
     remat = False
 
     # Run the independent language models (onset/offset/velocity) as one
-    # grouped scan: identical math, fewer sequential recurrence steps.
+    # grouped scan: identical math, fewer sequential recurrence steps —
+    # but measured SLOWER on v5e at recipe shapes (RESULTS.md round 3).
     # Serve/export such checkpoints via models.unfuse_lm_variables.
     fused_lms = False
 

@@ -119,7 +119,11 @@ def test_fastlstm_gradients(key):
 
 
 def test_fused_direction_scan_matches_sequential_scans():
-    """FastBiLSTM's single grouped scan == two sequential direction scans."""
+    """FastBiLSTM == the explicit per-direction scan formulation.
+
+    (FastBiLSTM briefly ran both directions as one grouped scan; that
+    measured slower on v5e and was reverted — this check pins the
+    module's outputs to the explicit formulation either way.)"""
 
     import jax
     import jax.numpy as jnp
