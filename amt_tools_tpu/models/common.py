@@ -64,9 +64,12 @@ class TranscriptionModel(nn.Module):
     # long-crop/large-batch steps that do not fit otherwise (RESULTS.md).
     remat: Any = False
     # Serving-only: run the acoustic conv stacks as int8 MXU contractions
-    # (ops.qconv.Int8Conv; v5e executes int8 at 2x the bf16 MXU rate).
+    # (ops.qconv.Int8Conv). False | True (per-sample dynamic activation
+    # scales, no calibration, measured SLOWER end-to-end than bf16 on v5e)
+    # | 'static' (calibrated per-layer scales from the 'quant_stats'
+    # collection — fill via serving.calibrate_quant_stats; the fast mode).
     # Parameter tree and checkpoints are unchanged; do not train with this.
-    quant_acoustic: bool = False
+    quant_acoustic: Any = False
 
     @nn.nowrap
     def pre_proc(self, batch):

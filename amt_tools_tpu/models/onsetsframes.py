@@ -64,9 +64,11 @@ class AcousticModel(nn.Module):
     # checkpoints bound the live set to one block's working set at a time.
     block_remat: bool = False
     # Serving-only: run the convs as int8 MXU contractions (ops.qconv).
-    # The parameter tree is unchanged (Int8Conv declares kernel/bias under
-    # the same Conv_N names), so float checkpoints load as-is.
-    quant: bool = False
+    # False | True (dynamic activation scales) | 'static' (calibrated
+    # scales, the measured-fast mode — see ops/qconv.py). The parameter
+    # tree is unchanged (Int8Conv declares kernel/bias under the same
+    # Conv_N names), so float checkpoints load as-is.
+    quant: Any = False
 
     def _conv(self, features, name, quantize=True):
         """The conv for one block: float ``nn.Conv`` or int8 drop-in.
@@ -76,7 +78,8 @@ class AcousticModel(nn.Module):
         """
 
         if self.quant and quantize:
-            return Int8Conv(features, (3, 3), dtype=self.dtype, name=name)
+            return Int8Conv(features, (3, 3), dtype=self.dtype, name=name,
+                            static_scale=self.quant == 'static')
 
         return nn.Conv(features, (3, 3), padding='SAME', dtype=self.dtype,
                        name=name)
@@ -150,7 +153,8 @@ class AcousticModel(nn.Module):
         x = x.reshape(x.shape[:-2] + (-1,))
 
         if self.quant:
-            x = Int8Dense(self.dim_out, dtype=self.dtype, name='Dense_0')(x)
+            x = Int8Dense(self.dim_out, dtype=self.dtype, name='Dense_0',
+                          static_scale=self.quant == 'static')(x)
         else:
             x = nn.Dense(self.dim_out, dtype=self.dtype, name='Dense_0')(x)
         x = nn.Dropout(0.50, deterministic=not train)(x)

@@ -62,10 +62,15 @@ class TabCNN(TranscriptionModel):
         if self.quant_acoustic:
             # Serving-only int8 MXU path; identical parameter tree (the
             # attribute names pin the checkpoint layout), see ops/qconv.py
-            self.conv1 = Int8Conv(nf1, (3, 3), padding='VALID')
-            self.conv2 = Int8Conv(nf2, (3, 3), padding='VALID')
-            self.conv3 = Int8Conv(nf2, (3, 3), padding='VALID')
-            self.dense1 = Int8Dense(128 * self.model_complexity)
+            static = self.quant_acoustic == 'static'
+            self.conv1 = Int8Conv(nf1, (3, 3), padding='VALID',
+                                  static_scale=static)
+            self.conv2 = Int8Conv(nf2, (3, 3), padding='VALID',
+                                  static_scale=static)
+            self.conv3 = Int8Conv(nf2, (3, 3), padding='VALID',
+                                  static_scale=static)
+            self.dense1 = Int8Dense(128 * self.model_complexity,
+                                    static_scale=static)
         else:
             self.conv1 = nn.Conv(nf1, (3, 3), padding='VALID')
             self.conv2 = nn.Conv(nf2, (3, 3), padding='VALID')

@@ -12,14 +12,26 @@ Design (all in-graph, no offline calibration step):
   to the float model's (``kernel``/``bias`` under the same module names),
   so any trained checkpoint serves quantized without conversion; XLA
   hoists the (tiny) weight-quantization ops out of the conv hot path.
-- **Activations**: per-SAMPLE symmetric int8 with a dynamic scale
-  (``max|x| / 127`` over each batch element separately, so one loud clip
-  cannot coarsen its batchmates' quantization grid — each clip's notes
-  are independent of batch composition). Dynamic quantization costs one
-  reduce per conv — negligible next to the conv itself — and adapts to
-  any input distribution without calibration data. Inputs here are
-  dB-scaled features in [0, 1] and post-ReLU activations, so the dynamic
-  range is tame.
+- **Activations**, two modes:
+
+  * *dynamic* (default): per-SAMPLE symmetric int8 with a runtime scale
+    (``max|x| / 127`` over each batch element separately, so one loud
+    clip cannot coarsen its batchmates' quantization grid). No
+    calibration needed — but the abs-max reduce forces the producer's
+    output to be read twice more (reduce + quantize), and those
+    bandwidth passes MEASURED LARGER than the int8 MXU saving on v5e:
+    the dynamic int8 pipeline runs at 0.81x the bf16 one even though
+    the int8 contractions themselves probe 1.4-2.2x faster (RESULTS.md
+    round 3).
+  * *static* (``static_scale=True``): one per-layer scalar scale read
+    from the ``'quant_stats'`` variable collection, filled by a
+    calibration pass (run any forward with ``mutable=['quant_stats']``
+    — each layer records the running abs-max it saw; see
+    ``serving.calibrate_quant_stats``). With a constant scale the
+    round/clip/cast fuses into the producing op's output write — zero
+    extra passes — which is what lets the int8 MXU rate shine through
+    end-to-end. Still batch-independent (the scale is a constant).
+
 - **Accumulation**: int32 (``preferred_element_type``), dequantized to the
   module's compute dtype with the fused ``s_x * s_w`` rescale + bias.
 
@@ -36,7 +48,11 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-__all__ = ['Int8Conv', 'Int8Dense', 'quantize_symmetric']
+__all__ = ['Int8Conv', 'Int8Dense', 'quantize_symmetric', 'QUANT_STATS']
+
+# Variable collection holding calibrated per-layer activation abs-maxima
+# (see module docstring / serving.calibrate_quant_stats)
+QUANT_STATS = 'quant_stats'
 
 
 def quantize_symmetric(x, axis=None):
@@ -64,6 +80,29 @@ def quantize_symmetric(x, axis=None):
     return q, scale.reshape(x.shape[axis % x.ndim])
 
 
+def _static_activation_quant(module, xf):
+    """Quantize activations with a calibrated per-layer scalar scale.
+
+    Reads (and, when the ``'quant_stats'`` collection is mutable —
+    i.e. during ``init`` or a calibration ``apply`` — updates with a
+    running maximum) this layer's activation abs-max. Returns
+    ``(x8, scale)`` with a SCALAR scale, so the round/clip/cast fuses
+    into the producer's output write with no extra reduction pass.
+    Values beyond the calibrated range saturate at +/-127.
+    """
+
+    amax = module.variable(QUANT_STATS, 'act_amax',
+                           lambda: jnp.zeros((), jnp.float32))
+
+    if module.is_mutable_collection(QUANT_STATS):
+        amax.value = jnp.maximum(amax.value, jnp.max(jnp.abs(xf)))
+
+    scale = jnp.maximum(amax.value / 127.0, jnp.finfo(jnp.float32).tiny)
+    x8 = jnp.clip(jnp.round(xf / scale), -127, 127).astype(jnp.int8)
+
+    return x8, scale
+
+
 class Int8Conv(nn.Module):
     """Drop-in ``nn.Conv`` replacement computing the contraction in int8.
 
@@ -78,6 +117,10 @@ class Int8Conv(nn.Module):
     kernel_size: Tuple[int, int] = (3, 3)
     padding: str = 'SAME'
     dtype: Any = None
+    # Calibrated scalar activation scale from 'quant_stats' instead of a
+    # per-sample runtime scale (see module docstring for the measured
+    # bandwidth argument)
+    static_scale: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -91,8 +134,13 @@ class Int8Conv(nn.Module):
 
         # Per-output-channel weight scales (axis -1 of HWIO)
         w8, s_w = quantize_symmetric(kernel, axis=-1)
-        # Per-sample dynamic activation scales
-        x8, s_x = quantize_symmetric(x, axis=0)
+
+        if self.static_scale:
+            x8, s_x = _static_activation_quant(self, x.astype(jnp.float32))
+        else:
+            # Per-sample dynamic activation scales
+            x8, s_x = quantize_symmetric(x, axis=0)
+            s_x = s_x.reshape((-1,) + (1,) * (x.ndim - 1))
 
         dn = jax.lax.conv_dimension_numbers(
             x.shape, w8.shape, ('NHWC', 'HWIO', 'NHWC'))
@@ -100,7 +148,6 @@ class Int8Conv(nn.Module):
             x8, w8, window_strides=(1, 1), padding=self.padding,
             dimension_numbers=dn, preferred_element_type=jnp.int32)
 
-        s_x = s_x.reshape((-1,) + (1,) * (acc.ndim - 1))
         out = acc.astype(jnp.float32) * (s_x * s_w) + bias
         out_dtype = self.dtype if self.dtype is not None else jnp.float32
 
@@ -120,6 +167,8 @@ class Int8Dense(nn.Module):
 
     features: int
     dtype: Any = None
+    # Calibrated scalar activation scale (see Int8Conv.static_scale)
+    static_scale: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -132,9 +181,13 @@ class Int8Dense(nn.Module):
         w8, s_w = quantize_symmetric(kernel, axis=-1)
 
         xf = x.astype(jnp.float32)
-        s_x = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0,
-                          jnp.finfo(jnp.float32).tiny)
-        x8 = jnp.clip(jnp.round(xf / s_x), -127, 127).astype(jnp.int8)
+        if self.static_scale:
+            x8, s_x = _static_activation_quant(self, xf)
+        else:
+            s_x = jnp.maximum(
+                jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0,
+                jnp.finfo(jnp.float32).tiny)
+            x8 = jnp.clip(jnp.round(xf / s_x), -127, 127).astype(jnp.int8)
 
         acc = jax.lax.dot_general(
             x8, w8, (((x.ndim - 1,), (0,)), ((), ())),

@@ -18,7 +18,47 @@ import numpy as np
 from . import tools
 from .ops import decode
 
-__all__ = ['TranscriptionPipeline', 'calibrate_activity']
+__all__ = ['TranscriptionPipeline', 'calibrate_activity',
+           'calibrate_quant_stats']
+
+
+def calibrate_quant_stats(model, variables, data_proc, audio_batches):
+    """Fill the ``'quant_stats'`` collection for static int8 serving.
+
+    A model built with ``quant_acoustic='static'`` reads one calibrated
+    activation scale per quantized layer from the ``'quant_stats'``
+    variable collection (``ops/qconv.py``). This runs the forward on one
+    or more representative audio batches with that collection mutable —
+    each Int8Conv/Int8Dense records the running abs-max it saw — and
+    returns a new variables dict including the filled collection.
+
+    Activations louder than the calibrated range saturate at the int8
+    limit, so calibrate on audio at the loudness you serve (the standard
+    normalization makes this easy to satisfy).
+    """
+
+    import jax
+
+    from .ops.qconv import QUANT_STATS
+
+    if not isinstance(audio_batches, (list, tuple)):
+        audio_batches = [audio_batches]
+
+    @jax.jit
+    def probe(variables, audio):
+        feats = data_proc.process_jax(audio)
+        batch = model.pre_proc({tools.KEY_FEATS: feats})
+        _, mutated = model.apply(variables, batch[tools.KEY_FEATS],
+                                 train=False, mutable=[QUANT_STATS])
+        return mutated[QUANT_STATS]
+
+    out = dict(variables)
+    for audio in audio_batches:
+        # Running max: each pass folds its batch's abs-maxima into the
+        # stats the next pass starts from
+        out[QUANT_STATS] = probe(out, audio)
+
+    return out
 
 
 def calibrate_activity(model, variables, data_proc, audio,

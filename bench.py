@@ -81,10 +81,19 @@ def build_pipeline(batch_size, clip_seconds=60.0, complexity=3, quant=False):
     # onsets ~2 impulses/s/clip). Decode cost is activity-dependent; with
     # raw random weights the sparse-activity bias prior keeps every output
     # silent and the note decode would be benchmarked on empty maps.
-    from amt_tools_tpu.serving import TranscriptionPipeline, calibrate_activity
+    from amt_tools_tpu.serving import (TranscriptionPipeline,
+                                       calibrate_activity,
+                                       calibrate_quant_stats)
 
-    variables = calibrate_activity(model, variables, mel,
-                                   jnp.asarray(np.stack(clips[:4])))
+    probe_audio = jnp.asarray(np.stack(clips[:4]))
+
+    if quant == 'static':
+        # Static int8 scales must exist before any forward is interpreted
+        # (activity calibration reads logit quantiles off the quantized
+        # forward, so it runs after the scales are sane)
+        variables = calibrate_quant_stats(model, variables, mel, probe_audio)
+
+    variables = calibrate_activity(model, variables, mel, probe_audio)
 
     pipeline = TranscriptionPipeline(model, variables, mel,
                                      capacity=NOTE_CAPACITY)
@@ -172,6 +181,7 @@ def main(quant=False):
     }
 
     if quant:
+        result['quant_mode'] = 'static' if quant == 'static' else 'dynamic'
         # Honesty companion: how well do the int8 pipeline's decoded notes
         # agree with the bf16 pipeline's on the same audio? The reference
         # pipeline reuses the quant pipeline's (calibrated) variables — the
@@ -541,8 +551,13 @@ def bench_trained():
     # even f32 vs bf16 disagrees there, RESULTS.md). Same trained weights
     # through the int8 pipeline, note-level agreement vs the bf16 decode.
     _log('building int8 pipeline on the trained weights...')
+    from amt_tools_tpu.serving import calibrate_quant_stats
+
+    quant_model = pipeline.model.clone(quant_acoustic='static')
+    q_variables = calibrate_quant_stats(quant_model, variables,
+                                        pipeline.data_proc, audio[:4])
     quant_pipeline = TranscriptionPipeline(
-        pipeline.model.clone(quant_acoustic=True), variables,
+        quant_model, q_variables,
         pipeline.data_proc, capacity=NOTE_CAPACITY)
     q_elapsed, q_notes = measure(quant_pipeline, audio, runs)
     q_rtf = batch_size * clip_seconds * runs / q_elapsed
@@ -694,6 +709,10 @@ if __name__ == '__main__':
     elif len(sys.argv) > 1 and sys.argv[1] == 'trained':
         bench_trained()
     elif len(sys.argv) > 1 and sys.argv[1] == 'int8':
-        main(quant=True)
+        # 'static' = calibrated per-layer activation scales (the fast
+        # mode); `int8 dynamic` benches the calibration-free runtime
+        # scales (measured 0.81x bf16 on v5e, RESULTS.md)
+        dynamic = len(sys.argv) > 2 and sys.argv[2] == 'dynamic'
+        main(quant=True if dynamic else 'static')
     else:
         main()

@@ -41,7 +41,9 @@ def config():
     # Seconds of audio per clip (static: baked into the artifact)
     clip_seconds = 20
 
-    # Serve the acoustic stacks as int8 MXU contractions (ops/qconv.py)
+    # Serve the acoustic stacks as int8 MXU contractions (ops/qconv.py):
+    # 'static' = calibrated activation scales (fast mode), true = dynamic
+    # scales (calibration-free), false = bf16
     quant = False
 
     # Maximum notes decoded per clip on device
@@ -102,7 +104,13 @@ def export(checkpoint, out, clip_seconds, quant, capacity):
         if state.batch_stats:
             variables['batch_stats'] = state.batch_stats
         print(f'freezing checkpoint at iteration {iteration}: {path}')
-    else:
+    if quant == 'static':
+        # Calibrated scales must exist before export freezes the graph
+        from amt_tools_tpu.serving import calibrate_quant_stats
+        variables = calibrate_quant_stats(model, variables, data_proc,
+                                          jnp.asarray(probe_batch(7)))
+
+    if not checkpoint:
         variables = calibrate_activity(model, variables, data_proc,
                                        jnp.asarray(probe_batch(0)))
 

@@ -49,9 +49,11 @@ def config():
     # Maximum notes decoded per clip on device
     capacity = 1024
 
-    # Serve the acoustic conv stacks as int8 MXU contractions (2x bf16
-    # MXU peak on v5e; per-sample dynamic activation scales, identical
-    # parameter tree — see ops/qconv.py)
+    # Serve the acoustic conv stacks as int8 MXU contractions (identical
+    # parameter tree — see ops/qconv.py). 'static' = calibrated per-layer
+    # activation scales (measured +12.6% over bf16 on v5e, RESULTS.md);
+    # true = calibration-free dynamic scales (slower than bf16); false =
+    # bf16 only.
     quant = False
 
 
@@ -75,6 +77,10 @@ def serve(batch_size, clip_seconds, checkpoint, data_parallel, capacity,
 
     # --- parameters: trained checkpoint or calibrated random init ---
     rng = np.random.RandomState(0)
+    probe = np.stack([render_notes(*random_notes(profile, clip_seconds,
+                                                 30, rng),
+                                   sample_rate, clip_seconds, seed=b)
+                      for b in range(2)])
     num_samples = int(sample_rate * clip_seconds)
     feats_shape = model.pre_proc({tools.KEY_FEATS: jnp.zeros(
         (1, 1, 229, 1 + num_samples // hop))})
@@ -106,14 +112,17 @@ def serve(batch_size, clip_seconds, checkpoint, data_parallel, capacity,
         if state.batch_stats:
             variables['batch_stats'] = state.batch_stats
         print(f'serving checkpoint at iteration {iteration}: {path}')
-    else:
+    if quant == 'static':
+        # Static int8 needs calibrated activation scales before any forward
+        # is interpreted (serve on representative-loudness audio)
+        from amt_tools_tpu.serving import calibrate_quant_stats
+        variables = calibrate_quant_stats(model, variables, data_proc,
+                                          jnp.asarray(probe))
+
+    if not checkpoint:
         # Random weights stay silent (sparse-activity prior); calibrate the
         # output biases to trained-model-like firing rates for the demo
         from amt_tools_tpu.serving import calibrate_activity
-        probe = np.stack([render_notes(*random_notes(profile, clip_seconds,
-                                                     30, rng),
-                                       sample_rate, clip_seconds, seed=b)
-                          for b in range(2)])
         variables = calibrate_activity(model, variables, data_proc,
                                        jnp.asarray(probe))
 

@@ -172,3 +172,25 @@ def test_export_rejects_mesh_pipeline(pipeline_and_audio):
 
     with pytest.raises(ValueError, match='mesh'):
         export_serving(sharded, audio.shape[-1])
+
+def test_static_quant_pipeline_exports(pipeline_and_audio):
+    """Static-scale int8 serving (calibrated 'quant_stats') exports: the
+    scales freeze into the artifact as constants."""
+
+    from amt_tools_tpu.serving import calibrate_quant_stats
+
+    pipeline, audio = pipeline_and_audio
+
+    model = OnsetsFrames2(dim_in=72, profile=pipeline.model.profile,
+                          model_complexity=2, quant_acoustic='static')
+    variables = calibrate_quant_stats(model, pipeline.variables,
+                                      pipeline.data_proc, audio)
+    assert 'quant_stats' in variables
+
+    qpipe = TranscriptionPipeline(model, variables,
+                                  pipeline.data_proc, capacity=256)
+
+    data = export_serving(qpipe, audio.shape[-1], batch_size=4)
+    artifact = load_serving(data)
+
+    _assert_same_notes(artifact(np.asarray(audio)), qpipe(audio))

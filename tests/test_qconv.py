@@ -153,3 +153,75 @@ def test_quantized_outputs_independent_of_batch_composition():
 
     np.testing.assert_array_equal(np.asarray(alone[0]),
                                   np.asarray(together[0]))
+
+def test_static_scale_matches_float_after_calibration():
+    """static_scale modules quantize with calibrated scalar scales and
+    land within the same LSB-type bound as the dynamic mode."""
+
+    rng = np.random.RandomState(5)
+
+    for qmod, fmod, shape in [
+            (Int8Conv(features=12, kernel_size=(3, 3), static_scale=True),
+             nn.Conv(12, (3, 3), padding='SAME'), (2, 9, 16, 8)),
+            (Int8Dense(features=12, static_scale=True),
+             nn.Dense(12), (2, 9, 8))]:
+        x = jnp.asarray(rng.rand(*shape).astype(np.float32))
+
+        variables = fmod.init(jax.random.PRNGKey(0), x)
+        y_f = fmod.apply(variables, x)
+
+        # Calibration pass records the activation abs-max
+        y_cal, mutated = qmod.apply(variables, x, mutable=['quant_stats'])
+        stats = mutated['quant_stats']
+        amax = float(jax.tree_util.tree_leaves(stats)[0])
+        assert amax == pytest.approx(float(jnp.max(jnp.abs(x))), rel=1e-6)
+
+        # Serving pass reads the stats read-only
+        y_q = qmod.apply({**variables, 'quant_stats': stats}, x)
+        np.testing.assert_array_equal(np.asarray(y_cal), np.asarray(y_q))
+
+        tol = 2.0 * float(jnp.max(jnp.abs(y_f))) / 127.0
+        assert float(jnp.max(jnp.abs(y_q - y_f))) < tol
+
+
+def test_calibrate_quant_stats_running_max_and_model_wiring():
+    """serving.calibrate_quant_stats fills every quantized layer's stats;
+    a louder second batch raises the recorded maxima (running max)."""
+
+    from amt_tools_tpu.features import MelSpec
+    from amt_tools_tpu.serving import calibrate_quant_stats
+
+    profile = PianoProfile()
+    model = OnsetsFrames2(dim_in=229, profile=profile, model_complexity=2,
+                          quant_acoustic='static')
+    mel = MelSpec(sample_rate=16000, hop_length=512, n_mels=229)
+
+    rng = np.random.RandomState(0)
+    audio_soft = jnp.asarray(0.05 * rng.randn(1, 16000).astype(np.float32))
+    audio_loud = jnp.asarray(0.9 * rng.randn(1, 16000).astype(np.float32))
+
+    feats = mel.process_jax(audio_soft)
+    pre = model.pre_proc({tools.KEY_FEATS: feats})
+    rngs = {'params': jax.random.PRNGKey(0), 'dropout': jax.random.PRNGKey(1)}
+    variables = model.init(rngs, pre[tools.KEY_FEATS], train=False)
+
+    v1 = calibrate_quant_stats(model, variables, mel, audio_soft)
+    assert 'quant_stats' in v1
+    leaves1 = jax.tree_util.tree_leaves(v1['quant_stats'])
+    # One scale per quantized layer: 3 heads x (Conv_1, Conv_2, Dense_0)
+    assert len(leaves1) == 9
+    assert all(float(leaf) > 0 for leaf in leaves1)
+
+    v2 = calibrate_quant_stats(model, v1, mel, audio_loud)
+    leaves2 = jax.tree_util.tree_leaves(v2['quant_stats'])
+    assert all(float(b) >= float(a) for a, b in zip(leaves1, leaves2))
+
+    # The calibrated model serves (read-only stats) and its activation maps
+    # track the float forward
+    m_f = OnsetsFrames2(dim_in=229, profile=profile, model_complexity=2)
+    batch = {tools.KEY_FEATS: np.asarray(feats, np.float32)}
+    out_q, _ = run_on_batch(model, v2, batch, train=False)
+    out_f, _ = run_on_batch(m_f, variables, batch, train=False)
+    mp_q = np.asarray(out_q[tools.KEY_MULTIPITCH])
+    mp_f = np.asarray(out_f[tools.KEY_MULTIPITCH])
+    assert np.mean(np.abs(mp_q - mp_f)) < 0.05
