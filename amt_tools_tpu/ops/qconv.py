@@ -5,7 +5,8 @@ rate. The acoustic conv stacks dominate the serving forward (~236 ms of a
 332 ms batch at ~43% bf16 MFU, RESULTS.md breakdown), so quantizing just
 those convs attacks the single largest line item in the pipeline.
 
-Design (all in-graph, no offline calibration step):
+Design (weight quantization always in-graph; the static activation mode
+adds a one-shot calibration pass over representative audio):
 
 - **Weights**: per-output-channel symmetric int8, scales computed from the
   float32 parameters inside the forward. The parameter tree is IDENTICAL
@@ -46,9 +47,11 @@ from typing import Any, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
-__all__ = ['Int8Conv', 'Int8Dense', 'quantize_symmetric', 'QUANT_STATS']
+__all__ = ['Int8Conv', 'Int8Dense', 'quantize_symmetric', 'QUANT_STATS',
+           'validate_quant_stats']
 
 # Variable collection holding calibrated per-layer activation abs-maxima
 # (see module docstring / serving.calibrate_quant_stats)
@@ -78,6 +81,35 @@ def quantize_symmetric(x, axis=None):
     q = jnp.clip(jnp.round(xf / scale), -127, 127).astype(jnp.int8)
 
     return q, scale.reshape(x.shape[axis % x.ndim])
+
+
+def validate_quant_stats(variables, context='static int8 serving'):
+    """Raise if static-scale serving would run on uncalibrated stats.
+
+    A ``quant_acoustic='static'`` model initialized on zeros (every
+    script's shape-only ``model.init``) records amax = 0; serving with
+    that saturates every activation to +/-127 and rescales to ~0 — the
+    pipeline would silently decode garbage. Call this with CONCRETE
+    variables (pipeline/export construction time) before compiling.
+    """
+
+    stats = variables.get(QUANT_STATS)
+    if not stats:
+        raise ValueError(
+            f'{context}: variables carry no "{QUANT_STATS}" collection — '
+            f'run serving.calibrate_quant_stats on representative audio '
+            f'first (a float checkpoint does not include these scales).')
+
+    import jax
+
+    for path, leaf in jax.tree_util.tree_flatten_with_path(stats)[0]:
+        if float(np.max(np.asarray(leaf))) <= 0.0:
+            name = jax.tree_util.keystr(path)
+            raise ValueError(
+                f'{context}: calibrated activation scale {name} is zero '
+                f'(stats recorded from a zeros init, not real audio) — '
+                f'run serving.calibrate_quant_stats on representative '
+                f'audio first.')
 
 
 def _static_activation_quant(module, xf):
@@ -158,11 +190,14 @@ class Int8Dense(nn.Module):
     """Drop-in ``nn.Dense`` replacement computing the matmul in int8.
 
     Same parameters/names as ``nn.Dense`` (``kernel``: (in, out),
-    ``bias``: (out,)); per-output-column weight scales, per-ROW dynamic
-    activation scales, int32 accumulation. Unlike a conv (whose receptive
-    fields overlap, forcing one scale per sample), a dense layer contracts
-    over the feature axis only — every output row can carry its own scale,
-    so a loud frame never coarsens another frame's quantization grid.
+    ``bias``: (out,)); per-output-column weight scales, int32
+    accumulation. Dynamic mode uses per-ROW activation scales: unlike a
+    conv (whose receptive fields overlap, forcing one scale per sample),
+    a dense layer contracts over the feature axis only — every output row
+    can carry its own scale, so a loud frame never coarsens another
+    frame's quantization grid. ``static_scale=True`` trades that for one
+    calibrated scalar (the measured-fast serving mode, see module
+    docstring).
     """
 
     features: int

@@ -142,6 +142,12 @@ class TranscriptionPipeline:
         self.profile = model.profile
         self.mesh = mesh
 
+        if getattr(model, 'quant_acoustic', False) == 'static':
+            # Fail loudly here (variables are concrete) — serving with
+            # zeros-init quant stats would silently decode garbage
+            from .ops.qconv import validate_quant_stats
+            validate_quant_stats(variables, 'TranscriptionPipeline')
+
         if mesh is not None:
             from .parallel import replicate
             self.variables = replicate(self.variables, mesh)

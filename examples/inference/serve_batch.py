@@ -77,10 +77,14 @@ def serve(batch_size, clip_seconds, checkpoint, data_parallel, capacity,
 
     # --- parameters: trained checkpoint or calibrated random init ---
     rng = np.random.RandomState(0)
-    probe = np.stack([render_notes(*random_notes(profile, clip_seconds,
-                                                 30, rng),
-                                   sample_rate, clip_seconds, seed=b)
-                      for b in range(2)])
+
+    def probe_batch():
+        # Built lazily: only the calibration paths below consume it
+        return np.stack([render_notes(*random_notes(profile, clip_seconds,
+                                                    30, rng),
+                                      sample_rate, clip_seconds, seed=b)
+                         for b in range(2)])
+
     num_samples = int(sample_rate * clip_seconds)
     feats_shape = model.pre_proc({tools.KEY_FEATS: jnp.zeros(
         (1, 1, 229, 1 + num_samples // hop))})
@@ -112,19 +116,20 @@ def serve(batch_size, clip_seconds, checkpoint, data_parallel, capacity,
         if state.batch_stats:
             variables['batch_stats'] = state.batch_stats
         print(f'serving checkpoint at iteration {iteration}: {path}')
+    if quant == 'static' or not checkpoint:
+        probe = jnp.asarray(probe_batch())
+
     if quant == 'static':
         # Static int8 needs calibrated activation scales before any forward
         # is interpreted (serve on representative-loudness audio)
         from amt_tools_tpu.serving import calibrate_quant_stats
-        variables = calibrate_quant_stats(model, variables, data_proc,
-                                          jnp.asarray(probe))
+        variables = calibrate_quant_stats(model, variables, data_proc, probe)
 
     if not checkpoint:
         # Random weights stay silent (sparse-activity prior); calibrate the
         # output biases to trained-model-like firing rates for the demo
         from amt_tools_tpu.serving import calibrate_activity
-        variables = calibrate_activity(model, variables, data_proc,
-                                       jnp.asarray(probe))
+        variables = calibrate_activity(model, variables, data_proc, probe)
 
     mesh = None
     if data_parallel:

@@ -225,3 +225,27 @@ def test_calibrate_quant_stats_running_max_and_model_wiring():
     mp_q = np.asarray(out_q[tools.KEY_MULTIPITCH])
     mp_f = np.asarray(out_f[tools.KEY_MULTIPITCH])
     assert np.mean(np.abs(mp_q - mp_f)) < 0.05
+
+def test_static_quant_pipeline_rejects_uncalibrated_stats():
+    """Serving static int8 on zeros-init quant stats (a shape-only
+    model.init) must fail loudly, not decode silence."""
+
+    from amt_tools_tpu.features import MelSpec
+    from amt_tools_tpu.serving import TranscriptionPipeline
+
+    profile = PianoProfile()
+    model = OnsetsFrames2(dim_in=229, profile=profile, model_complexity=2,
+                          quant_acoustic='static')
+    mel = MelSpec(sample_rate=16000, hop_length=512, n_mels=229)
+
+    rngs = {'params': jax.random.PRNGKey(0), 'dropout': jax.random.PRNGKey(1)}
+    # Shape-only init: records amax = 0 in quant_stats
+    variables = model.init(rngs, jnp.zeros((1, 8, 229, 1)), train=False)
+
+    with pytest.raises(ValueError, match='calibrate_quant_stats'):
+        TranscriptionPipeline(model, variables, mel)
+
+    # A float checkpoint with no collection at all is also rejected
+    bare = {k: v for k, v in variables.items() if k != 'quant_stats'}
+    with pytest.raises(ValueError, match='calibrate_quant_stats'):
+        TranscriptionPipeline(model, bare, mel)
