@@ -22,7 +22,11 @@ jax.config.update('jax_platforms', 'cpu')
 # Persistent compilation cache: XLA compiles are slow on this CPU (~1-4 s per
 # unique op); caching makes repeat test runs cheap.
 jax.config.update('jax_compilation_cache_dir', os.path.expanduser('~/.cache/jax-cpu'))
-jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.1)
+# 0.5 s floor: only cache the compiles worth caching. (Also shrinks the
+# cache-WRITE surface — one full-suite run observed a segfault inside
+# jax's put_executable_and_time zstd write path; cheap entries aren't
+# worth that exposure.)
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
 
 import numpy as np
 import pytest
