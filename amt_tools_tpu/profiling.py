@@ -101,10 +101,13 @@ class StageTimer(object):
                 for stage, samples in self.times.items()}
 
 
-def peak_flops(device=None):
-    """Peak bf16 matmul FLOP/s of a TPU device (0.0 if unknown).
+def peak_flops(device=None, dtype='bf16'):
+    """Peak matmul FLOP/s of a TPU device (0.0 if unknown).
 
     Published per-chip dense peaks; used as the MFU denominator.
+    ``dtype='int8'`` returns the int8 MXU peak (2x bf16 on v5e/v6e;
+    v4/v5p run int8 at the bf16 rate) so quantized-mode MFU is measured
+    against the rate the hardware actually offers that format.
     """
 
     import jax
@@ -114,14 +117,14 @@ def peak_flops(device=None):
 
     kind = getattr(device, 'device_kind', '').lower()
     table = {
-        'v5 lite': 197e12, 'v5e': 197e12,
-        'v5p': 459e12, 'v5': 459e12,
-        'v4': 275e12,
-        'v6 lite': 918e12, 'v6e': 918e12,
+        'v5 lite': (197e12, 394e12), 'v5e': (197e12, 394e12),
+        'v5p': (459e12, 459e12), 'v5': (459e12, 459e12),
+        'v4': (275e12, 275e12),
+        'v6 lite': (918e12, 1836e12), 'v6e': (918e12, 1836e12),
     }
-    for key, value in table.items():
+    for key, (bf16, int8) in table.items():
         if key in kind:
-            return value
+            return int8 if dtype == 'int8' else bf16
 
     return 0.0
 
