@@ -70,6 +70,11 @@ class TranscriptionModel(nn.Module):
     # collection — fill via serving.calibrate_quant_stats; the fast mode).
     # Parameter tree and checkpoints are unchanged; do not train with this.
     quant_acoustic: Any = False
+    # Enable dropout layers in train mode. False trains deterministically
+    # (BatchNorm still updates batch statistics) — used for reproducible
+    # fine-tuning and for differential tests that step the reference
+    # optimizer side by side (dropout noise is framework-specific).
+    dropout: bool = True
 
     @nn.nowrap
     def pre_proc(self, batch):

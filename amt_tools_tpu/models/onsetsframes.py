@@ -69,6 +69,8 @@ class AcousticModel(nn.Module):
     # tree is unchanged (Int8Conv declares kernel/bias under the same
     # Conv_N names), so float checkpoints load as-is.
     quant: Any = False
+    # False trains without dropout noise (BatchNorm still in train mode)
+    dropout: bool = True
 
     def _conv(self, features, name, quantize=True):
         """The conv for one block: float ``nn.Conv`` or int8 drop-in.
@@ -94,7 +96,8 @@ class AcousticModel(nn.Module):
         # int8-vs-float note agreement without measurable speed cost
         nf1 = 16 * self.model_complexity
         x = self._conv(nf1, 'Conv_0', quantize=False)(x)
-        x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         dtype=self.dtype)(x)
         x = nn.relu(x)
         return x if mask is None else x * mask
 
@@ -103,10 +106,11 @@ class AcousticModel(nn.Module):
 
         nf1 = 16 * self.model_complexity
         x = self._conv(nf1, 'Conv_1')(x)
-        x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         dtype=self.dtype)(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (1, 2), strides=(1, 2))
-        x = nn.Dropout(0.25, deterministic=not train)(x)
+        x = nn.Dropout(0.25, deterministic=not (train and self.dropout))(x)
         return x if mask is None else x * mask
 
     def _block3(self, x, mask, train):
@@ -114,10 +118,11 @@ class AcousticModel(nn.Module):
 
         nf3 = 32 * self.model_complexity
         x = self._conv(nf3, 'Conv_2')(x)
-        x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         dtype=self.dtype)(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (1, 2), strides=(1, 2))
-        x = nn.Dropout(0.25, deterministic=not train)(x)
+        x = nn.Dropout(0.25, deterministic=not (train and self.dropout))(x)
         return x if mask is None else x * mask
 
     @nn.compact
@@ -157,7 +162,7 @@ class AcousticModel(nn.Module):
                           static_scale=self.quant == 'static')(x)
         else:
             x = nn.Dense(self.dim_out, dtype=self.dtype, name='Dense_0')(x)
-        x = nn.Dropout(0.50, deterministic=not train)(x)
+        x = nn.Dropout(0.50, deterministic=not (train and self.dropout))(x)
 
         return x
 
@@ -255,6 +260,8 @@ class GroupedAcousticModel(nn.Module):
     in_channels: int = 1
     model_complexity: int = 2
     dtype: Any = None
+    # False trains without dropout noise (BatchNorm still in train mode)
+    dropout: bool = True
 
     @nn.compact
     def __call__(self, feats, train=False, lengths=None):
@@ -278,23 +285,26 @@ class GroupedAcousticModel(nn.Module):
         # Block 1: the input is shared across heads, so the per-head conv1
         # kernels concatenate into one dense convolution
         x = nn.Conv(num_heads * nf1, (3, 3), padding='SAME', dtype=self.dtype)(x)
-        x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         dtype=self.dtype)(x)
         x = masked(nn.relu(x))
 
         # Blocks 2-3: per-head inputs -> grouped (block-diagonal) convs
         x = nn.Conv(num_heads * nf1, (3, 3), padding='SAME',
                     feature_group_count=num_heads, dtype=self.dtype)(x)
-        x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         dtype=self.dtype)(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (1, 2), strides=(1, 2))
-        x = masked(nn.Dropout(0.25, deterministic=not train)(x))
+        x = masked(nn.Dropout(0.25, deterministic=not (train and self.dropout))(x))
 
         x = nn.Conv(num_heads * nf3, (3, 3), padding='SAME',
                     feature_group_count=num_heads, dtype=self.dtype)(x)
-        x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         dtype=self.dtype)(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (1, 2), strides=(1, 2))
-        x = masked(nn.Dropout(0.25, deterministic=not train)(x))
+        x = masked(nn.Dropout(0.25, deterministic=not (train and self.dropout))(x))
 
         # (B, T, F/4, H * nf3) -> (B, T, H, F/4 * nf3): group-blocked
         # channels split per head, flattened frequency-major/channel-minor
@@ -315,7 +325,7 @@ class GroupedAcousticModel(nn.Module):
         x = jnp.einsum('bthk,hkd->bthd', x.astype(compute_dtype),
                        kernel.astype(compute_dtype))
         x = x + bias.astype(compute_dtype)
-        x = nn.Dropout(0.50, deterministic=not train)(x)
+        x = nn.Dropout(0.50, deterministic=not (train and self.dropout))(x)
 
         return x
 
@@ -605,7 +615,8 @@ class OnsetsFrames(TranscriptionModel):
             Grouped = _grouped_model_cls(self.remat)
             self.grouped_am = Grouped(self.dim_in, self.dim_am,
                                       len(self.head_names), self.in_channels,
-                                      self.model_complexity, dtype=self.dtype)
+                                      self.model_complexity, dtype=self.dtype,
+                                      dropout=self.dropout)
         else:
             AcousticModel = _acoustic_model_cls(self.remat)
             for name in self.head_names:
@@ -613,7 +624,8 @@ class OnsetsFrames(TranscriptionModel):
                         AcousticModel(self.dim_in, self.dim_am,
                                       self.in_channels, self.model_complexity,
                                       dtype=self.dtype,
-                                      quant=self.quant_acoustic))
+                                      quant=self.quant_acoustic,
+                                      dropout=self.dropout))
 
     def _embeddings(self, feats, train, lengths):
         """Per-head acoustic embeddings keyed by head name."""

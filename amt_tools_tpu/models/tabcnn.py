@@ -99,13 +99,13 @@ class TabCNN(TranscriptionModel):
         x = nn.relu(self.conv2(x))
         x = nn.relu(self.conv3(x))
         x = nn.max_pool(x, (2, 2), strides=(2, 2))
-        x = self.dropout1(x, deterministic=not train)
+        x = self.dropout1(x, deterministic=not (train and self.dropout))
 
         # Flatten spatial features into one embedding per window
         x = x.reshape((batch_size, num_frames, -1))
 
         x = nn.relu(self.dense1(x))
-        x = self.dropout2(x, deterministic=not train)
+        x = self.dropout2(x, deterministic=not (train and self.dropout))
 
         output[tools.KEY_TABLATURE] = self.tablature_out(x)
 
