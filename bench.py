@@ -369,6 +369,152 @@ def _trained_companion(headline_pipeline, audio, runs, windows):
     }
 
 
+def _count_notes(groups):
+    """Total decoded notes across per-clip groups (flat or stacked)."""
+
+    total = 0
+    for g in groups:
+        if isinstance(g, dict):
+            total += sum(len(p) for p, _ in g.values())
+        else:
+            total += len(g[0])
+
+    return total
+
+
+def build_tabcnn_pipeline(batch_size, clip_seconds=60.0):
+    """Guitar-flagship serving pipeline: CQT -> TabCNN -> stacked decode.
+
+    Paper-recipe features (22.05 kHz, CQT 192 bins at 24/octave, hop 512,
+    reference ``examples/papers/tabcnn.py:40-59``) with bf16 compute and
+    the full on-device tablature -> stacked multi-pitch -> per-string note
+    decode (``serving.TablaturePipeline``).
+    """
+
+    import jax
+    import jax.numpy as jnp
+
+    from amt_tools_tpu import tools
+    from amt_tools_tpu.features import CQT
+    from amt_tools_tpu.models import TabCNN
+    from amt_tools_tpu.datasets.synthetic import render_notes, random_notes
+    from amt_tools_tpu.serving import (TablaturePipeline,
+                                       calibrate_tablature_activity)
+
+    sample_rate, hop = 22050, 512
+
+    profile = tools.GuitarProfile(num_frets=19)
+    cqt = CQT(sample_rate=sample_rate, hop_length=hop,
+              n_bins=192, bins_per_octave=24)
+    model = TabCNN(dim_in=cqt.get_feature_size(), profile=profile,
+                   dtype=jnp.bfloat16)
+
+    rng = np.random.RandomState(0)
+    clips = []
+    for b in range(batch_size):
+        # ~2 notes/s/clip of guitar-range material (GuitarSet-like density)
+        pitches, intervals = random_notes(profile, clip_seconds,
+                                          int(2 * clip_seconds), rng)
+        clips.append(render_notes(pitches, intervals, sample_rate,
+                                  clip_seconds, seed=b))
+    audio = jnp.asarray(np.stack(clips))
+
+    num_frames = cqt.get_expected_frames(clips[0])
+    feats_shape = model.pre_proc(
+        {tools.KEY_FEATS: jnp.zeros((batch_size, 1, 192, num_frames))})
+    init_fn = jax.jit(lambda rngs, feats: model.init(rngs, feats, train=False))
+    variables = init_fn({'params': jax.random.PRNGKey(0),
+                         'dropout': jax.random.PRNGKey(1)},
+                        feats_shape[tools.KEY_FEATS])
+    jax.block_until_ready(variables)
+
+    # Raise the silence-class biases so ~5% of (string, frame) cells decode
+    # to a fret — trained-model-like duty cycle (same rationale as the O&F
+    # calibrate_activity: decode cost is activity-dependent)
+    probe_audio = jnp.asarray(np.stack(clips[:4]))
+    variables = calibrate_tablature_activity(model, variables, cqt,
+                                             probe_audio)
+
+    # Per-STRING capacity: 60 s at ~5%/string duty -> well under 512 segments
+    pipeline = TablaturePipeline(model, variables, cqt, capacity=512)
+
+    return pipeline, audio
+
+
+def bench_tabcnn():
+    """Guitar-flagship serving benchmark (``python bench.py tabcnn``).
+
+    The TablaturePipeline counterpart of the O&F headline: one XLA
+    executable runs CQT feature extraction, the TabCNN forward, softmax
+    tablature decode, stacked multi-pitch expansion, and per-string note
+    decode; the host receives fixed-capacity note buffers per string.
+    Same median-of-windows protocol and XLA-cost-analysis MFU as ``main``.
+    """
+
+    import jax
+
+    try:
+        jax.config.update('jax_compilation_cache_dir',
+                          os.path.expanduser('~/.cache/jax'))
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+    except Exception:
+        pass
+
+    from amt_tools_tpu import profiling
+
+    batch_size = int(os.environ.get('AMT_BENCH_BATCH', 64))
+    clip_seconds = float(os.environ.get('AMT_BENCH_CLIP_SECONDS', 60.0))
+    runs = int(os.environ.get('AMT_BENCH_RUNS', 8))
+    windows = int(os.environ.get('AMT_BENCH_WINDOWS', 5))
+
+    _log('building TabCNN pipeline (initializing parameters)...')
+    pipeline, audio = build_tabcnn_pipeline(batch_size, clip_seconds)
+
+    _log('compiling device pipeline...')
+    t0 = time.perf_counter()
+    flops_per_run = 0.0
+    try:
+        flops_per_run = profiling.compiled_flops(
+            pipeline._pipeline, pipeline.variables, audio)
+    except Exception as exc:
+        _log(f'cost analysis unavailable: {exc}')
+    _log(f'compile: {time.perf_counter() - t0:.1f}s')
+
+    t0 = time.perf_counter()
+    pipeline(audio)
+    _log(f'first run: {time.perf_counter() - t0:.1f}s')
+
+    elapsed_all, notes = measure_windows(pipeline, audio, runs, windows)
+    elapsed = elapsed_all[len(elapsed_all) // 2]
+
+    total_notes = _count_notes(notes)
+    _log(f'decoded {total_notes} notes/batch on device '
+         f'({total_notes / max(1, len(notes)):.1f} per clip avg)')
+
+    audio_seconds = batch_size * clip_seconds
+    rtf = audio_seconds * runs / elapsed
+
+    achieved_flops = flops_per_run * runs / elapsed
+    peak = profiling.peak_flops(jax.devices()[0])
+    mfu = achieved_flops / peak if peak else 0.0
+    _log(f'achieved {achieved_flops / 1e12:.2f} TFLOP/s, peak '
+         f'{peak / 1e12:.0f} TFLOP/s (bf16), MFU {mfu * 100:.2f}%')
+
+    result = {
+        'metric': 'tabcnn_pipeline_realtime_factor',
+        'value': round(rtf, 2),
+        'unit': 'audio-sec/sec/chip',
+        'vs_baseline': round(rtf / 100.0, 3),
+        'mfu_pct': round(mfu * 100, 2),
+        'achieved_tflops': round(achieved_flops / 1e12, 2),
+        'notes_per_batch': total_notes,
+        'rtf_window_min': round(audio_seconds * runs / elapsed_all[-1], 2),
+        'rtf_window_max': round(audio_seconds * runs / elapsed_all[0], 2),
+        'serving_dtype': 'bf16',
+    }
+    print(json.dumps(result))
+
+
 def breakdown():
     """Per-component timings at the headline config (stderr only).
 
@@ -861,6 +1007,8 @@ if __name__ == '__main__':
         bench_streaming()
     elif len(sys.argv) > 1 and sys.argv[1] == 'trained':
         bench_trained()
+    elif len(sys.argv) > 1 and sys.argv[1] == 'tabcnn':
+        bench_tabcnn()
     elif len(sys.argv) > 1 and sys.argv[1] == 'int8':
         # 'static' = calibrated per-layer activation scales (the fast
         # mode); `int8 dynamic` benches the calibration-free runtime
