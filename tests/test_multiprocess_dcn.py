@@ -18,6 +18,8 @@ import pytest
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 
+pytestmark = pytest.mark.slow
+
 
 def _free_port():
     with socket.socket() as s:

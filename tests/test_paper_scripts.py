@@ -37,9 +37,11 @@ from corpora import (make_guitarset_corpus, make_maestro_corpus,
 
 TIMEOUT = 3600
 
-pytestmark = pytest.mark.skipif(
-    os.environ.get('AMT_SKIP_PAPER_SCRIPTS') == '1',
-    reason='AMT_SKIP_PAPER_SCRIPTS=1')
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(os.environ.get('AMT_SKIP_PAPER_SCRIPTS') == '1',
+                       reason='AMT_SKIP_PAPER_SCRIPTS=1'),
+]
 
 
 def _configs(base):

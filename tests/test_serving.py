@@ -147,3 +147,35 @@ def test_pipeline_overflow_redecodes_completely(setup):
     for (p1, i1), (p2, i2) in zip(got, want):
         np.testing.assert_array_equal(p1, p2)
         np.testing.assert_array_equal(i1, i2)
+
+
+def test_pipeline_int8_static_data_parallel_matches_single_device(setup):
+    """Mesh-sharded int8-static serving == unsharded int8-static serving.
+
+    Quantized serving and mesh serving compose: GSPMD partitions the
+    calibrated int8 graph over the ``data`` axis without changing the
+    decoded notes (motivated by an XLA GSPMD grouped-conv gradient bug
+    already found on this version — quant+mesh must not ship untested).
+    """
+
+    from amt_tools_tpu.parallel import get_mesh
+    from amt_tools_tpu.serving import calibrate_quant_stats
+
+    profile, mel, model, variables, audio = setup
+
+    quant_model = model.clone(quant_acoustic='static')
+    q_variables = calibrate_quant_stats(quant_model, variables, mel, audio)
+
+    audio8 = np.concatenate([audio] * 4, axis=0)
+
+    single = TranscriptionPipeline(quant_model, q_variables, mel, capacity=512)
+    sharded = TranscriptionPipeline(quant_model, q_variables, mel,
+                                    capacity=512, mesh=get_mesh())
+
+    want = single(audio8)
+    got = sharded(audio8)
+
+    assert len(got) == 8
+    for (p1, i1), (p2, i2) in zip(got, want):
+        np.testing.assert_array_equal(p1, p2)
+        np.testing.assert_array_equal(i1, i2)
