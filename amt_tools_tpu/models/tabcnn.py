@@ -21,10 +21,24 @@ __all__ = ['TabCNN']
 
 
 class TabCNN(TranscriptionModel):
-    """Per-frame context-window CNN with softmax-group tablature output."""
+    """Per-frame context-window CNN with softmax-group tablature output.
+
+    ``fullseq=True`` switches to a serving-mode forward that is EXACTLY
+    equivalent to the per-window computation but never materializes the
+    windows: because every conv is VALID (no intra-window padding), running
+    the conv stack once over the whole (F, T) image yields, at output
+    position t, precisely what window t computes — the per-window
+    ``max_pool((2, 2), strides=(2, 2))`` over the 3 surviving window-time
+    positions becomes a stride-1 kernel-2 pool over full-sequence time.
+    The windowed graph peaks at O(B*T * F * W * C) conv activations (a
+    40 GB fusion at the serving config, HBM-infeasible); fullseq peaks at
+    O(B * F * T * C) — ``frame_width``-fold smaller. Parameter trees are
+    identical, so trained variables swap between the modes freely.
+    """
 
     frame_width: int = 9
     online: bool = False
+    fullseq: bool = False
 
     @property
     def num_groups(self):
@@ -39,11 +53,21 @@ class TabCNN(TranscriptionModel):
         """Window features: (B, C, F, T) -> (B, T, F, W, C) context windows.
 
         In online mode incoming features already span exactly one window, so
-        no padding is applied (reference ``tabcnn.py:89-98``).
+        no padding is applied (reference ``tabcnn.py:89-98``). In fullseq
+        mode no windows are built: features become one zero-padded
+        (B, F, T + W - 1, C) NHWC image (the same zero center-padding
+        ``framify`` applies, so edge windows match exactly).
         """
 
         batch = dict(batch)
         feats = jnp.asarray(batch[tools.KEY_FEATS])
+
+        if self.fullseq:
+            pad = self.frame_width // 2
+            # (B, C, F, T) -> (B, F, T + 2*pad, C)
+            feats = jnp.pad(feats, ((0, 0), (0, 0), (0, 0), (pad, pad)))
+            batch[tools.KEY_FEATS] = jnp.transpose(feats, (0, 2, 3, 1))
+            return batch
 
         # (B, C, F, T) -> (B, C, F, T', W)
         feats = frame_ops.framify(feats, self.frame_width, pad=(not self.online))
@@ -85,24 +109,46 @@ class TabCNN(TranscriptionModel):
             num_classes=self.num_classes)
 
     def __call__(self, feats, train=False):
-        """(B, T, F, W, C) windows -> dict with (B, T, G*C) tablature logits."""
+        """(B, T, F, W, C) windows -> dict with (B, T, G*C) tablature logits.
+
+        In fullseq mode ``feats`` is the padded (B, F, T + W - 1, C) image
+        from :meth:`pre_proc` and the logits are identical to the windowed
+        path's (see class docstring for the equivalence argument).
+        """
 
         output = {}
 
-        batch_size, num_frames = feats.shape[0], feats.shape[1]
+        if self.fullseq:
+            batch_size = feats.shape[0]
+            num_frames = feats.shape[2] - (self.frame_width - 1)  # original T
 
-        # Collapse the window axis into the batch: each context window is an
-        # independent sample through the conv stack
-        x = feats.reshape((-1,) + feats.shape[2:])
+            x = nn.relu(self.conv1(feats))
+            x = nn.relu(self.conv2(x))
+            x = nn.relu(self.conv3(x))
+            # Per-window max_pool((2, 2), (2, 2)) over its 3 surviving time
+            # positions keeps max(pos 0, pos 1) -> full-seq positions (t, t+1)
+            x = nn.max_pool(x, (2, 2), strides=(2, 1))
+            x = x[:, :, :num_frames, :]
+            x = self.dropout1(x, deterministic=not (train and self.dropout))
 
-        x = nn.relu(self.conv1(x))
-        x = nn.relu(self.conv2(x))
-        x = nn.relu(self.conv3(x))
-        x = nn.max_pool(x, (2, 2), strides=(2, 2))
-        x = self.dropout1(x, deterministic=not (train and self.dropout))
+            # Match the windowed flatten order (F-major, then channels)
+            x = jnp.transpose(x, (0, 2, 1, 3))
+            x = x.reshape((batch_size, num_frames, -1))
+        else:
+            batch_size, num_frames = feats.shape[0], feats.shape[1]
 
-        # Flatten spatial features into one embedding per window
-        x = x.reshape((batch_size, num_frames, -1))
+            # Collapse the window axis into the batch: each context window is
+            # an independent sample through the conv stack
+            x = feats.reshape((-1,) + feats.shape[2:])
+
+            x = nn.relu(self.conv1(x))
+            x = nn.relu(self.conv2(x))
+            x = nn.relu(self.conv3(x))
+            x = nn.max_pool(x, (2, 2), strides=(2, 2))
+            x = self.dropout1(x, deterministic=not (train and self.dropout))
+
+            # Flatten spatial features into one embedding per window
+            x = x.reshape((batch_size, num_frames, -1))
 
         x = nn.relu(self.dense1(x))
         x = self.dropout2(x, deterministic=not (train and self.dropout))

@@ -161,6 +161,58 @@ def test_tablature_pipeline_end_to_end(setup):
         assert agreement > 0.5, f'note agreement {agreement:.2f}'
 
 
+def test_fullseq_forward_matches_windowed(setup):
+    """fullseq TabCNN logits == windowed logits on the same variables.
+
+    The serving-mode forward (convs over the whole (F, T) image + a
+    stride-1 time pool) must reproduce the per-window computation exactly —
+    VALID convs make window t's output a translate of full-sequence output
+    t (``models/tabcnn.py`` class docstring). This is the memory fix that
+    makes 60 s batched guitar serving fit in HBM (the windowed graph
+    materializes a frame_width-fold larger conv activation).
+    """
+
+    profile, stft, model, variables, audio = setup
+
+    full = model.clone(fullseq=True)
+    feats = stft.process_jax(audio)
+
+    pre_w = model.pre_proc({tools.KEY_FEATS: feats})
+    out_w = model.apply(variables, pre_w[tools.KEY_FEATS], train=False)
+
+    pre_f = full.pre_proc({tools.KEY_FEATS: feats})
+    out_f = full.apply(variables, pre_f[tools.KEY_FEATS], train=False)
+
+    np.testing.assert_allclose(np.asarray(out_f[tools.KEY_TABLATURE]),
+                               np.asarray(out_w[tools.KEY_TABLATURE]),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_fullseq_pipeline_matches_windowed_decode(setup):
+    """TablaturePipeline(fullseq) decodes the same tablature as windowed.
+
+    Compares the (B, S, T) class ids reconstructed from both pipelines'
+    note buffers; ties in untrained argmax logits are resolved identically
+    because the logits themselves match (previous test), so the decoded
+    stacked notes agree set-wise to near-unity.
+    """
+
+    profile, stft, model, variables, audio = setup
+
+    windowed = TablaturePipeline(model, variables, stft, capacity=64)
+    full = TablaturePipeline(model.clone(fullseq=True), variables, stft,
+                             capacity=64)
+
+    got = full(audio)
+    want = windowed(audio)
+
+    got_set = _note_set(got[0]) | _note_set(got[1])
+    want_set = _note_set(want[0]) | _note_set(want[1])
+    agreement = 2 * len(got_set & want_set) / max(1, len(got_set)
+                                                  + len(want_set))
+    assert agreement > 0.98, f'fullseq vs windowed agreement {agreement:.3f}'
+
+
 def test_calibrate_tablature_activity(setup):
     profile, stft, model, variables, audio = setup
 
