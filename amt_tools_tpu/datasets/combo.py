@@ -29,10 +29,25 @@ class DatasetCombo(object):
         return self.datasets[self._owner[index]]
 
     def __getitem__(self, index):
+        return self.get_item(index)
+
+    def get_item(self, index, rng=None):
+        """Route ``TranscriptionDataset.get_item`` (explicit crop RNG —
+        the DataLoader worker-prefetch protocol) to the owning dataset."""
+
         dataset = self._dataset_for(index)
         local_index = dataset.tracks.index(self.tracks[index])
 
-        return dataset[local_index]
+        return dataset.get_item(local_index, rng=rng)
+
+    def get_track_frames(self, track_id):
+        """Route the batched-eval frame-count probe to the owning dataset."""
+
+        for dataset in self.datasets:
+            if track_id in dataset.tracks:
+                return dataset.get_track_frames(track_id)
+
+        raise KeyError(f'Track {track_id!r} not found in any dataset.')
 
     def get_track_data(self, track_id, **kwargs):
         """Route to whichever constituent dataset owns the track."""

@@ -13,7 +13,6 @@ import os
 import shutil
 import warnings
 from abc import abstractmethod
-from copy import deepcopy
 
 import numpy as np
 
@@ -107,9 +106,20 @@ class TranscriptionDataset(object):
     def __getitem__(self, index):
         """A random fixed-length slice of the indexed track, batch-ready."""
 
+        return self.get_item(index)
+
+    def get_item(self, index, rng=None):
+        """:meth:`__getitem__` with an explicit crop RNG.
+
+        ``rng`` (a ``np.random.RandomState``) draws the crop start instead
+        of the dataset's shared RNG — this is what makes the DataLoader's
+        worker-thread prefetch deterministic: each item's RNG is seeded in
+        the main thread, so crops are independent of thread scheduling.
+        """
+
         track_id = self.tracks[index]
 
-        data = self.get_track_data(track_id)
+        data = self.get_track_data(track_id, rng=rng)
 
         data = tools.dict_to_dtype(data, dtype=tools.FLOAT32)
 
@@ -124,7 +134,7 @@ class TranscriptionDataset(object):
         """Compute (or load cached) features for a track."""
 
         if isinstance(data, dict):
-            data = deepcopy(data)
+            data = dict(data)  # new dict; entries shared (keys only added)
         else:
             data = {tools.KEY_TRACK: data}
 
@@ -172,11 +182,22 @@ class TranscriptionDataset(object):
         return data
 
     def get_track_data(self, track_id, sample_start=None, seq_length=None,
-                       snap_to_frame=True):
-        """Features + ground truth for a track, optionally sliced coherently."""
+                       snap_to_frame=True, rng=None):
+        """Features + ground truth for a track, optionally sliced coherently.
+
+        The returned dict is fresh, but full-length entries reference the
+        RAM cache directly when ``store_data`` (a deep copy per crop copies
+        the whole track's audio + features to slice out ~2% of them —
+        measured as the dominant host cost of the training loop). Cropped
+        array entries are always fresh copies; callers must not mutate
+        whole-track array entries in place.
+
+        ``rng`` overrides the dataset RNG for the random crop draw (used by
+        the DataLoader's deterministic worker prefetch).
+        """
 
         if self.store_data:
-            data = deepcopy(self.data[track_id])
+            data = dict(self.data[track_id])
         else:
             data = self.load(track_id)
 
@@ -192,7 +213,8 @@ class TranscriptionDataset(object):
 
         if sample_start is None:
             max_start = max(1, len(data[tools.KEY_AUDIO]) - seq_length)
-            sample_start = self.rng.randint(0, max_start)
+            sample_start = (rng if rng is not None
+                            else self.rng).randint(0, max_start)
 
         frame_start = sample_start // self.hop_length
         frame_end = frame_start + self.num_frames
@@ -202,7 +224,9 @@ class TranscriptionDataset(object):
 
         sample_end = sample_start + seq_length
 
-        data[tools.KEY_AUDIO] = data[tools.KEY_AUDIO][..., sample_start: sample_end]
+        # Fresh O(crop) copy (not a view into the RAM cache)
+        data[tools.KEY_AUDIO] = np.array(
+            data[tools.KEY_AUDIO][..., sample_start: sample_end])
 
         sec_start = sample_start / self.sample_rate
         sec_stop = sample_end / self.sample_rate
@@ -237,6 +261,29 @@ class TranscriptionDataset(object):
         data = tools.slice_track(data, frame_start, frame_end, skipped_keys)
 
         return data
+
+    def get_track_frames(self, track_id):
+        """A track's whole-track feature frame count, as cheaply as possible.
+
+        Used by batched evaluation to group tracks by padded length without
+        materializing every track's features twice (the grouping pass +
+        the per-chunk load). RAM-cached features/audio answer from their
+        shapes via the feature module's frame algebra; otherwise the track
+        is loaded once (the status quo cost).
+        """
+
+        if self.store_data and track_id in getattr(self, 'data', {}):
+            data = self.data[track_id]
+            if tools.query_dict(data, tools.KEY_FEATS):
+                return int(np.asarray(data[tools.KEY_FEATS]).shape[-1])
+            if tools.query_dict(data, tools.KEY_AUDIO):
+                return int(self.data_proc.get_expected_frames(
+                    data[tools.KEY_AUDIO]))
+
+        data = self.load(track_id)
+        if tools.KEY_FEATS not in data:
+            data.update(self.calculate_feats(data))
+        return int(np.asarray(data[tools.KEY_FEATS]).shape[-1])
 
     @abstractmethod
     def get_tracks(self, split):
@@ -326,22 +373,34 @@ class DataLoader(object):
     yields a dict of stacked numpy arrays (a valid device batch). The loader
     is re-iterable, matching the ``train()`` loop's one-pass-per-iteration
     contract.
+
+    ``num_workers`` > 0 prepares batches on a thread pool, overlapping the
+    host-side crop/collate work with the device step (the training loop's
+    dispatch is async, so with workers the host data path runs entirely in
+    the device step's shadow). Worker batches are DETERMINISTIC given the
+    seed: crop starts are drawn from per-item RNGs seeded in the main
+    thread, so results are independent of thread scheduling — but the draws
+    differ from the ``num_workers=0`` stream (which consumes the dataset's
+    own RNG).
     """
 
     def __init__(self, dataset, batch_size=1, shuffle=True, drop_last=False,
-                 seed=0):
+                 seed=0, num_workers=0, prefetch=2):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.rng = np.random.RandomState(seed)
+        self.num_workers = num_workers
+        self.prefetch = prefetch
+        self._pool = None
 
     def __len__(self):
         if self.drop_last:
             return len(self.dataset) // self.batch_size
         return -(-len(self.dataset) // self.batch_size)
 
-    def __iter__(self):
+    def _batch_indices(self):
         order = np.arange(len(self.dataset))
         if self.shuffle:
             self.rng.shuffle(order)
@@ -350,8 +409,50 @@ class DataLoader(object):
             idcs = order[start: start + self.batch_size]
             if self.drop_last and len(idcs) < self.batch_size:
                 break
+            yield idcs
 
-            yield collate([self.dataset[i] for i in idcs])
+    def __iter__(self):
+        if not self.num_workers:
+            for idcs in self._batch_indices():
+                yield collate([self.dataset[i] for i in idcs])
+            return
+
+        yield from self._iter_workers()
+
+    def _make_batch(self, idcs, seeds):
+        samples = [self.dataset.get_item(i, rng=np.random.RandomState(s))
+                   for i, s in zip(idcs, seeds)]
+        return collate(samples)
+
+    def _iter_workers(self):
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        if self._pool is None:
+            self._pool = ThreadPoolExecutor(
+                max_workers=self.num_workers,
+                thread_name_prefix='amt-loader')
+
+        # Per-item crop seeds drawn up-front in the main thread: the batch
+        # stream is a pure function of the loader seed, however the pool
+        # schedules the work
+        jobs = [(idcs, self.rng.randint(0, 2**31 - 1, size=len(idcs)))
+                for idcs in self._batch_indices()]
+
+        depth = self.num_workers + self.prefetch
+        pending = deque()
+        try:
+            for job in jobs:
+                pending.append(self._pool.submit(self._make_batch, *job))
+                if len(pending) >= depth:
+                    yield pending.popleft().result()
+            while pending:
+                yield pending.popleft().result()
+        finally:
+            # A consumer that stops early (e.g. train(single_batch=True))
+            # must not leak queued work into the next epoch
+            for fut in pending:
+                fut.cancel()
 
 
 def collate(samples):

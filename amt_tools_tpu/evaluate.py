@@ -106,8 +106,10 @@ def _validate_batched(model, variables, dataset, evaluator, estimator,
 
     groups = defaultdict(list)
     for track_id in dataset.tracks:
-        track_data = dataset.get_track_data(track_id)
-        num_frames = np.asarray(track_data[tools.KEY_FEATS]).shape[-1]
+        # Cheap frame-count probe — the grouping pass must not load every
+        # track's full data a second time (disk-backed datasets would pay
+        # double I/O for the whole eval pass)
+        num_frames = dataset.get_track_frames(track_id)
         padded = -(-num_frames // bucket) * bucket
         groups[padded].append(track_id)
 

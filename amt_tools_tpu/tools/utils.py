@@ -1477,26 +1477,35 @@ def slice_track(track, start, stop, skip=None, pad=True):
 
     Entries shorter than the requested window are zero-padded (tablature is
     padded with -1), matching ``utils.py:3908-3967``.
+
+    Returns a new dict whose sliced arrays are fresh O(window) copies;
+    skipped and non-array entries are passed through BY REFERENCE (they are
+    not copied — the crop hot loop must not deep-copy full-length tracks,
+    measured as the dominant host cost of ``train()``'s data path).
     """
 
     if skip is None:
         skip = []
 
-    track = deepcopy(track)
+    out = dict(track)
 
-    for key in list(track.keys()):
-        if key not in skip and _is_array(track[key]):
-            entry = to_numpy(track[key])[..., start: stop]
+    for key in out.keys():
+        if key not in skip and _is_array(out[key]):
+            entry = to_numpy(out[key])[..., start: stop]
 
             num_missing = max(0, (stop - start) - entry.shape[-1]) if pad else 0
             if num_missing:
                 fill = -1 if key == constants.KEY_TABLATURE else 0
                 padding = [(0, 0)] * (entry.ndim - 1) + [(0, num_missing)]
                 entry = np.pad(entry, padding, constant_values=fill)
+            else:
+                # Materialize the view: callers own their crop outright (the
+                # source track may live in a dataset's RAM cache)
+                entry = np.array(entry)
 
-            track[key] = entry
+            out[key] = entry
 
-    return track
+    return out
 
 
 def save_dict_npz(path, d):

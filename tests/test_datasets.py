@@ -74,6 +74,69 @@ def test_data_loader_batching(piano_set):
     assert len(list(loader)) == 2
 
 
+def test_data_loader_workers_deterministic(piano_set):
+    """Worker-thread prefetch yields a batch stream that is a pure function
+    of the loader seed (crop RNGs are seeded in the main thread), and the
+    batches match the single-threaded layout."""
+
+    def batches(num_workers):
+        loader = DataLoader(piano_set, batch_size=2, shuffle=True, seed=3,
+                            num_workers=num_workers)
+        return list(loader), list(loader)  # two epochs: re-iterable
+
+    (w1_a, w1_b) = batches(2)
+    (w2_a, w2_b) = batches(2)
+
+    for got, want in zip(w1_a + w1_b, w2_a + w2_b):
+        assert set(got.keys()) == set(want.keys())
+        for key in got:
+            np.testing.assert_array_equal(np.asarray(got[key]),
+                                          np.asarray(want[key]))
+
+    # Same shapes/keys as the synchronous loader (crop draws differ: the
+    # worker stream uses per-item seeds, documented)
+    sync = list(DataLoader(piano_set, batch_size=2, shuffle=True, seed=3))
+    assert len(w1_a) == len(sync)
+    assert w1_a[0][tools.KEY_FEATS].shape == sync[0][tools.KEY_FEATS].shape
+    assert w1_a[0][tools.KEY_MULTIPITCH].shape == \
+        sync[0][tools.KEY_MULTIPITCH].shape
+
+
+def test_crops_do_not_alias_the_ram_cache(piano_set):
+    """Crops own their arrays: mutating a crop must not corrupt the
+    dataset's stored track (the crop path shares the cache by reference
+    and copies only the sliced window)."""
+
+    track_id = piano_set.tracks[0]
+    before = {k: np.array(v) for k, v in piano_set.data[track_id].items()
+              if isinstance(v, np.ndarray)}
+
+    crop = piano_set[0]
+    for key in (tools.KEY_FEATS, tools.KEY_MULTIPITCH, tools.KEY_AUDIO):
+        np.asarray(crop[key])[...] = -123.0
+
+    after = piano_set.data[track_id]
+    for key in before:
+        np.testing.assert_array_equal(before[key], np.asarray(after[key]))
+
+
+def test_get_track_frames_probe(piano_set):
+    """The cheap frame-count probe equals the whole track's feature frames
+    (from the frame algebra before features exist, from the cached feature
+    matrix after)."""
+
+    # Before any access: audio-only cache -> frame-algebra answer
+    fresh = piano_set.get_track_frames(piano_set.tracks[-1])
+
+    for track_id in piano_set.tracks:
+        _ = piano_set[piano_set.tracks.index(track_id)]  # materialize feats
+        cached = piano_set.data[track_id]
+        want = np.asarray(cached[tools.KEY_FEATS]).shape[-1]
+        assert piano_set.get_track_frames(track_id) == want
+
+    assert fresh == piano_set.get_track_frames(piano_set.tracks[-1])
+
+
 def test_synthetic_guitar(tmp_path):
     guitar_set = SyntheticGuitar(
         base_dir=str(tmp_path),
