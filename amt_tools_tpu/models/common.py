@@ -70,6 +70,12 @@ class TranscriptionModel(nn.Module):
     # collection — fill via serving.calibrate_quant_stats; the fast mode).
     # Parameter tree and checkpoints are unchanged; do not train with this.
     quant_acoustic: Any = False
+    # Serving-only: run the language models' hoisted input projections as
+    # int8 MXU contractions (same False | True | 'static' modes). The
+    # recurrent matmuls stay float (latency-bound; error would compound
+    # through the recurrence). Parameter tree unchanged; do not train
+    # with this.
+    quant_lm: Any = False
     # Enable dropout layers in train mode. False trains deterministically
     # (BatchNorm still updates batch statistics) — used for reproducible
     # fine-tuning and for differential tests that step the reference

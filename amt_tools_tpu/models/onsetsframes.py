@@ -178,6 +178,10 @@ class LanguageModel(nn.Module):
     dim_out: int
     bidirectional: bool = True
     dtype: Any = None
+    # Serving-only int8 input projections (False | True | 'static'):
+    # the hoisted (B*T, E) @ (E, 4H) contractions are the LMs' only
+    # MXU-bound matmuls — the recurrence itself is latency-bound
+    quant: Any = False
 
     @nn.compact
     def __call__(self, feats, train=False, lengths=None):
@@ -191,10 +195,12 @@ class LanguageModel(nn.Module):
         # steps are overhead-bound and the residual writes cost more than
         # the scan saves), so training keeps the scan as a perf choice.
         if self.bidirectional:
-            return FastBiLSTM(features=hidden, dtype=self.dtype)(
+            return FastBiLSTM(features=hidden, dtype=self.dtype,
+                              quant=self.quant)(
                 feats, lengths=lengths, allow_pallas=not train)
 
-        return FastLSTM(features=hidden, dtype=self.dtype)(
+        return FastLSTM(features=hidden, dtype=self.dtype,
+                        quant=self.quant)(
             feats, lengths=lengths, allow_pallas=not train)
 
 
@@ -657,17 +663,22 @@ class OnsetsFrames(TranscriptionModel):
                 raise ValueError('fused_lms requires a model with multiple '
                                  'independent language models '
                                  '(OnsetsFrames2); V1 has only the onset LM.')
+            if self.quant_lm:
+                raise ValueError('quant_lm is only supported with per-head '
+                                 'language models (fused_lms=False).')
             self.group_lm = GroupedBiLSTM(features=self.dim_lm // 2,
                                           streams=len(self._fused_lm_streams),
                                           dtype=self.dtype)
         else:
             self.onset_lm = LanguageModel(self.dim_am, self.dim_lm,
-                                          dtype=self.dtype)
+                                          dtype=self.dtype,
+                                          quant=self.quant_lm)
         self.onset_out = LogisticBank(dim_in=self.dim_lm, dim_out=self.dim_out)
 
         self.pitch_out = LogisticBank(dim_in=self.dim_am, dim_out=self.dim_out)
 
-        self.adjoin_lm = LanguageModel(self.dim_aj, self.dim_lm, dtype=self.dtype)
+        self.adjoin_lm = LanguageModel(self.dim_aj, self.dim_lm,
+                                       dtype=self.dtype, quant=self.quant_lm)
         self.adjoin_out = LogisticBank(dim_in=self.dim_lm, dim_out=self.dim_out)
 
     def __call__(self, feats, train=False, lengths=None):
@@ -769,7 +780,8 @@ class OnsetsFrames2(OnsetsFrames):
 
         if not self.fused_lms:
             self.offset_lm = LanguageModel(self.dim_am, self.dim_lm,
-                                           dtype=self.dtype)
+                                           dtype=self.dtype,
+                                           quant=self.quant_lm)
         self.offset_out = LogisticBank(dim_in=self.dim_lm, dim_out=self.dim_out)
 
         if self.estimate_velocity:
@@ -781,7 +793,8 @@ class OnsetsFrames2(OnsetsFrames):
             # carries it (measured: within-tolerance 0.37 -> see RESULTS.md)
             if not self.fused_lms:
                 self.velocity_lm = LanguageModel(self.dim_am, self.dim_lm,
-                                                 dtype=self.dtype)
+                                                 dtype=self.dtype,
+                                                 quant=self.quant_lm)
             self.velocity_out = RegressionBank(dim_in=self.dim_lm,
                                                dim_out=self.dim_out)
 

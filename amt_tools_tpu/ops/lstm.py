@@ -22,13 +22,31 @@ pass ``allow_pallas=not train``; masked/streaming paths always keep the
 XLA scan.
 """
 
-from typing import Optional
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 __all__ = ['FastLSTM', 'FastBiLSTM', 'GroupedBiLSTM', 'lengths_to_mask']
+
+
+def _input_proj(features, name, dtype, quant):
+    """The hoisted (B*T, E) @ (E, 4H) projection: float or int8 drop-in.
+
+    With ``quant`` the contraction runs on the int8 MXU path
+    (``ops.qconv.Int8Dense`` — identical parameter names, so float
+    checkpoints serve as-is). The recurrent matmul stays float: at
+    (B, H) @ (H, 4H) per step it is latency-bound, not MXU-bound, and
+    quantization error would compound through the recurrence.
+    """
+
+    if quant:
+        from .qconv import Int8Dense
+        return Int8Dense(features, name=name, dtype=dtype,
+                         static_scale=quant == 'static')
+
+    return nn.Dense(features, name=name, dtype=dtype)
 
 
 def _match_varying(value, like):
@@ -197,6 +215,9 @@ class FastLSTM(nn.Module):
     features: int
     unroll: int = 8
     dtype: Optional[jnp.dtype] = None
+    # Serving-only int8 input projection (False | True | 'static'; see
+    # _input_proj / ops.qconv). Do not train with this.
+    quant: Any = False
 
     @nn.compact
     def __call__(self, inputs, initial_carry=None, return_carry=False,
@@ -205,7 +226,8 @@ class FastLSTM(nn.Module):
         hidden = self.features
 
         # Hoisted input projection for all timesteps: one MXU contraction
-        xw = nn.Dense(4 * hidden, name='input_proj', dtype=self.dtype)(inputs)
+        xw = _input_proj(4 * hidden, 'input_proj', self.dtype,
+                         self.quant)(inputs)
 
         w_h = self.param('recurrent_kernel', nn.initializers.orthogonal(),
                          (hidden, 4 * hidden))
@@ -245,14 +267,18 @@ class FastBiLSTM(nn.Module):
     features: int
     unroll: int = 8
     dtype: Optional[jnp.dtype] = None
+    # Serving-only int8 input projections (False | True | 'static')
+    quant: Any = False
 
     @nn.compact
     def __call__(self, inputs, lengths=None, allow_pallas=True):
         batch = inputs.shape[0]
         hidden = self.features
 
-        xw_f = nn.Dense(4 * hidden, name='input_proj_fwd', dtype=self.dtype)(inputs)
-        xw_b = nn.Dense(4 * hidden, name='input_proj_bwd', dtype=self.dtype)(inputs)
+        xw_f = _input_proj(4 * hidden, 'input_proj_fwd', self.dtype,
+                           self.quant)(inputs)
+        xw_b = _input_proj(4 * hidden, 'input_proj_bwd', self.dtype,
+                           self.quant)(inputs)
 
         w_h_f = self.param('recurrent_kernel_fwd', nn.initializers.orthogonal(),
                            (hidden, 4 * hidden))

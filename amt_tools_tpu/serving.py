@@ -180,7 +180,8 @@ class _ServingPipeline:
         self.profile = model.profile
         self.mesh = mesh
 
-        if getattr(model, 'quant_acoustic', False) == 'static':
+        if (getattr(model, 'quant_acoustic', False) == 'static'
+                or getattr(model, 'quant_lm', False) == 'static'):
             # Fail loudly here (variables are concrete) — serving with
             # zeros-init quant stats would silently decode garbage
             from .ops.qconv import validate_quant_stats

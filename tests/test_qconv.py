@@ -90,6 +90,58 @@ def test_quant_model_param_tree_identical_and_loads_float_checkpoint():
     assert np.mean(np.abs(mp_f - mp_q)) < 0.05
 
 
+def test_quant_lm_param_tree_identical_and_close_to_float():
+    """quant_lm (int8 LM input projections) keeps the exact float parameter
+    tree and perturbs logits only within quantization tolerance."""
+
+    profile = PianoProfile()
+    kw = dict(dim_in=72, profile=profile, model_complexity=2)
+
+    m_f = OnsetsFrames2(**kw)
+    m_q = OnsetsFrames2(quant_lm=True, **kw)
+
+    rng = np.random.RandomState(0)
+    dim_out = profile.get_range_len()
+    batch = {
+        tools.KEY_FEATS: rng.rand(2, 1, 72, 16).astype(np.float32),
+        tools.KEY_MULTIPITCH: (rng.rand(2, dim_out, 16) > 0.9
+                               ).astype(np.float32),
+    }
+
+    pre = m_f.pre_proc(dict(batch))
+    rngs = {'params': jax.random.PRNGKey(0), 'dropout': jax.random.PRNGKey(1)}
+    v_f = m_f.init(rngs, pre[tools.KEY_FEATS], train=False)
+    v_q = m_q.init(rngs, pre[tools.KEY_FEATS], train=False)
+
+    assert jax.tree_util.tree_structure(
+        v_f['params']) == jax.tree_util.tree_structure(v_q['params'])
+
+    out_f, _ = run_on_batch(m_f, v_f, batch, train=False)
+    out_q, _ = run_on_batch(m_q, v_f, batch, train=False)
+
+    mp_f = np.asarray(out_f[tools.KEY_MULTIPITCH])
+    mp_q = np.asarray(out_q[tools.KEY_MULTIPITCH])
+    assert mp_f.shape == mp_q.shape
+    assert np.mean(np.abs(mp_f - mp_q)) < 0.05
+
+    on_f = np.asarray(out_f[tools.KEY_ONSETS])
+    on_q = np.asarray(out_q[tools.KEY_ONSETS])
+    assert np.mean(np.abs(on_f - on_q)) < 0.05
+
+
+def test_quant_lm_rejects_fused_lms():
+    profile = PianoProfile()
+    model = OnsetsFrames2(dim_in=72, profile=profile, model_complexity=2,
+                          quant_lm=True, fused_lms=True)
+
+    rng = np.random.RandomState(0)
+    feats = jnp.asarray(rng.rand(1, 8, 72, 1).astype(np.float32))
+
+    with pytest.raises(ValueError, match='quant_lm'):
+        model.init({'params': jax.random.PRNGKey(0),
+                    'dropout': jax.random.PRNGKey(1)}, feats, train=False)
+
+
 def test_quant_acoustic_rejects_fused_heads():
     profile = PianoProfile()
     model = OnsetsFrames2(dim_in=72, profile=profile, model_complexity=2,
