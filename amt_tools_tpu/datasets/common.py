@@ -121,7 +121,10 @@ class TranscriptionDataset(object):
 
         data = self.get_track_data(track_id, rng=rng)
 
-        data = tools.dict_to_dtype(data, dtype=tools.FLOAT32)
+        # copy=False: crop entries are fresh by construction (slice_track /
+        # the audio slice), so re-copying matching-dtype arrays here would
+        # be pure overhead in the loader hot path
+        data = tools.dict_to_dtype(data, dtype=tools.FLOAT32, copy=False)
 
         # Remove unbatchable entries
         for key in (tools.KEY_NOTES, tools.KEY_PITCHLIST, tools.KEY_FS):

@@ -1344,10 +1344,15 @@ def _map_dict(track, fn):
     return out
 
 
-def dict_to_dtype(track, dtype):
-    """Cast all array entries of a track dictionary to a dtype."""
+def dict_to_dtype(track, dtype, copy=True):
+    """Cast all array entries of a track dictionary to a dtype.
 
-    return _map_dict(track, lambda a: a.astype(dtype))
+    ``copy=False`` passes already-matching arrays through unchanged (the
+    crop hot path's entries are fresh by construction, so the defensive
+    copy is pure overhead there).
+    """
+
+    return _map_dict(track, lambda a: np.asarray(a).astype(dtype, copy=copy))
 
 
 def dict_to_device(track, device=None):

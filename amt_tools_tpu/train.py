@@ -27,7 +27,7 @@ import optax
 from flax import struct
 
 from . import tools
-from .evaluate import validate, average_results, log_results
+from .evaluate import validate, log_results
 from .models.common import run_on_batch
 
 __all__ = [
@@ -363,17 +363,12 @@ def train(model, train_loader, optimizer, iterations, checkpoints=0,
             if single_batch:
                 break
 
-        # One device->host transfer per loss key: stack the per-step scalars
-        # on device, then pull each stacked array once (per-step transfers
-        # cost a full round trip each on remote-attached devices)
-        if epoch_losses:
-            stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs),
-                                             *epoch_losses)
-            train_loss = {k: np.asarray(v) for k, v in stacked.items()}
-        else:
-            train_loss = dict()
-
-        train_loss = average_results(train_loss)
+        # ONE jitted reduction + ONE device->host transfer for the whole
+        # pass's losses. The earlier eager per-key stacking + per-key
+        # np.asarray cost several round trips per pass on remote-attached
+        # devices — measured at ~1.9 s/pass through the axon tunnel, the
+        # single largest term of the loop/step gap (RESULTS.md round 4).
+        train_loss = _reduce_epoch_losses(epoch_losses)
         log_results(train_loss, writer, step=global_iter + 1,
                     tag=f'{tools.TRAIN}/{tools.KEY_LOSS}')
 
@@ -400,6 +395,34 @@ def train(model, train_loader, optimizer, iterations, checkpoints=0,
                 evaluator.finalize(writer, global_iter + 1)
 
     return state
+
+
+@jax.jit
+def _pack_loss_means(losses):
+    """Per-key means of a tuple of flat loss dicts as one (K,) vector.
+
+    Key order is sorted; the whole pass reduces in one dispatch and ships
+    in one transfer (retraces only when the pass length or key set
+    changes).
+    """
+
+    keys = sorted(losses[0])
+
+    return jnp.stack([
+        jnp.mean(jnp.stack([l[k] for l in losses]).astype(jnp.float32))
+        for k in keys])
+
+
+def _reduce_epoch_losses(epoch_losses):
+    """Mean loss dict for one pass: one device dispatch, one fetch."""
+
+    if not epoch_losses:
+        return {}
+
+    keys = sorted(epoch_losses[0])
+    packed = np.asarray(_pack_loss_means(tuple(epoch_losses)))
+
+    return {k: float(v) for k, v in zip(keys, packed)}
 
 
 def _prefetch_batches(iterable, mesh, depth=2):
@@ -433,9 +456,19 @@ _trainable_batch = trainable_batch
 
 
 def _place_batch(batch, mesh):
-    """Move a host batch onto device(s)."""
+    """Move a host batch onto device(s).
+
+    Raw audio and frame times never flow into the jitted step (models
+    train on precomputed features; losses use frame-aligned labels), so
+    they are not uploaded — at recipe shapes the audio is over half the
+    batch's bytes. They stay in the HOST batch for callers that want them.
+    """
 
     batch = _trainable_batch(batch)
+
+    if tools.KEY_FEATS in batch:
+        for key in (tools.KEY_AUDIO, tools.KEY_TIMES):
+            batch.pop(key, None)
 
     if mesh is not None:
         from .parallel import shard_batch

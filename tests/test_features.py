@@ -46,6 +46,29 @@ def test_stft_shape_and_times():
     assert feats.min() >= 0.0 and feats.max() <= 1.0
 
 
+def test_process_audio_bucket_padding_is_exact():
+    """The jitted, bucket-padded host path == the eager transform trimmed.
+
+    ``process_audio`` zero-pads audio to a coarse length bucket (so
+    variable-length corpora compile O(log N) feature graphs instead of
+    dispatching op-by-op through the device tunnel) and trims the frames;
+    trailing zeros are exactly what frames past the audio's end already
+    see, so the kept frames must match an unpadded run.
+    """
+
+    import jax.numpy as jnp
+
+    fs, hop = 16000, 512
+    audio = _tone(fs, 440, 1.37)[: 21997]  # odd length, off any bucket
+
+    for module in (STFT(sample_rate=fs, hop_length=hop, n_fft=2048),
+                   MelSpec(sample_rate=fs, hop_length=hop, n_mels=48)):
+        got = module.process_audio(audio)
+        want = np.asarray(module.process_jax(jnp.asarray(audio)))
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, atol=2e-6, rtol=1e-5)
+
+
 def test_stft_peak_frequency():
     fs = 16000
     stft = STFT(sample_rate=fs, hop_length=512, n_fft=2048, decibels=False)
