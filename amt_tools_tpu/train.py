@@ -344,6 +344,8 @@ def train(model, train_loader, optimizer, iterations, checkpoints=0,
     train_step = make_train_step(model, optimizer, mesh=mesh,
                                  accum_steps=accum_steps)
 
+    pending_log = None  # previous pass's loss reduction, fetched async
+
     for global_iter in range(start_iter, iterations):
         # Loop through the dataset (one pass per outer iteration); the first
         # pass consumes the iterator the init batch was peeked from
@@ -363,14 +365,17 @@ def train(model, train_loader, optimizer, iterations, checkpoints=0,
             if single_batch:
                 break
 
-        # ONE jitted reduction + ONE device->host transfer for the whole
-        # pass's losses. The earlier eager per-key stacking + per-key
-        # np.asarray cost several round trips per pass on remote-attached
-        # devices — measured at ~1.9 s/pass through the axon tunnel, the
-        # single largest term of the loop/step gap (RESULTS.md round 4).
-        train_loss = _reduce_epoch_losses(epoch_losses)
-        log_results(train_loss, writer, step=global_iter + 1,
-                    tag=f'{tools.TRAIN}/{tools.KEY_LOSS}')
+        # ONE jitted reduction for the whole pass's losses, fetched
+        # asynchronously and logged at the NEXT pass boundary: the earlier
+        # eager per-key stacking + blocking per-key np.asarray cost several
+        # round trips per pass on remote-attached devices (~1.9 s/pass
+        # through the axon tunnel, the largest term of the loop/step gap),
+        # and even one blocking fetch idles the host behind the device's
+        # queued steps while the next pass's crops could already be under
+        # way. Scalars reach the writer one pass later in WALL time but at
+        # their own `step`, so logs/plots are unchanged (RESULTS.md round 4).
+        pending_log = _flush_loss_log(writer, pending_log)
+        pending_log = (_start_loss_reduction(epoch_losses), global_iter + 1)
 
         local_iter = global_iter - start_iter
 
@@ -394,6 +399,8 @@ def train(model, train_loader, optimizer, iterations, checkpoints=0,
                          batch_size=val_batch_size)
                 evaluator.finalize(writer, global_iter + 1)
 
+    _flush_loss_log(writer, pending_log)
+
     return state
 
 
@@ -413,16 +420,42 @@ def _pack_loss_means(losses):
         for k in keys])
 
 
-def _reduce_epoch_losses(epoch_losses):
-    """Mean loss dict for one pass: one device dispatch, one fetch."""
+def _start_loss_reduction(epoch_losses):
+    """Dispatch one pass's loss reduction and start its async host copy.
+
+    Returns an opaque handle for :func:`_flush_loss_log`; None when the
+    pass produced no losses.
+    """
 
     if not epoch_losses:
-        return {}
+        return None
 
     keys = sorted(epoch_losses[0])
-    packed = np.asarray(_pack_loss_means(tuple(epoch_losses)))
+    packed = _pack_loss_means(tuple(epoch_losses))
 
-    return {k: float(v) for k, v in zip(keys, packed)}
+    try:
+        packed.copy_to_host_async()
+    except Exception:
+        pass  # best-effort: np.asarray in the flush works either way
+
+    return keys, packed
+
+
+def _flush_loss_log(writer, pending_log):
+    """Log a previously started loss reduction (blocking fetch, usually a
+    no-op by now thanks to the async copy). Returns None for reassignment."""
+
+    if pending_log is None:
+        return None
+
+    reduction, step = pending_log
+    if reduction is not None:
+        keys, packed = reduction
+        values = np.asarray(packed)
+        log_results({k: float(v) for k, v in zip(keys, values)}, writer,
+                    step=step, tag=f'{tools.TRAIN}/{tools.KEY_LOSS}')
+
+    return None
 
 
 def _prefetch_batches(iterable, mesh, depth=2):

@@ -87,12 +87,16 @@ def config():
     # The random seed for this experiment
     seed = 0
 
+    # DataLoader prefetch threads (0 = synchronous; >0 overlaps crop/collate
+    # with the device step, deterministic per-item crop seeds)
+    num_workers = 4
+
 
 @ex.automain
 def onsets_frames_run(sample_rate, hop_length, num_frames, iterations,
                       checkpoints, batch_size, learning_rate, data_parallel,
                       reset_data, maps_base_dir, bf16, accum_steps, remat,
-                      seed, root_dir):
+                      num_workers, seed, root_dir):
     tools.seed_everything(seed)
 
     # Initialize the default piano profile
@@ -145,7 +149,8 @@ def onsets_frames_run(sample_rate, hop_length, num_frames, iterations,
                               batch_size=batch_size,
                               shuffle=True,
                               drop_last=True,
-                              seed=seed)
+                              seed=seed,
+                              num_workers=num_workers)
 
     print('Loading testing partition...')
 

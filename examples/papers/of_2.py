@@ -107,13 +107,18 @@ def config():
     # The random seed for this experiment
     seed = 0
 
+    # DataLoader prefetch threads (0 = synchronous; >0 overlaps crop/collate
+    # with the device step, deterministic per-item crop seeds)
+    num_workers = 4
+
 
 @ex.automain
 def onsets_frames_2_run(sample_rate, hop_length, num_frames, iterations,
                         checkpoints, batch_size, learning_rate, warmup_steps,
                         estimate_velocity, data_parallel, reset_data,
                         maestro_base_dir, maps_base_dir, bf16,
-                        accum_steps, remat, fused_lms, seed, root_dir):
+                        accum_steps, remat, fused_lms, num_workers, seed,
+                        root_dir):
     tools.seed_everything(seed)
 
     profile = tools.PianoProfile()
@@ -154,7 +159,8 @@ def onsets_frames_2_run(sample_rate, hop_length, num_frames, iterations,
                               batch_size=batch_size,
                               shuffle=True,
                               drop_last=True,
-                              seed=seed)
+                              seed=seed,
+                              num_workers=num_workers)
 
     print('Loading validation partition...')
 

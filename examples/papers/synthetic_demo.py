@@ -109,6 +109,10 @@ def config():
     # The random seed for this experiment
     seed = 0
 
+    # DataLoader prefetch threads (0 = synchronous; >0 overlaps crop/collate
+    # with the device step, deterministic per-item crop seeds)
+    num_workers = 4
+
 
 @ex.automain
 def synthetic_demo(sample_rate, hop_length, num_frames, iterations,
@@ -117,7 +121,7 @@ def synthetic_demo(sample_rate, hop_length, num_frames, iterations,
                    notes_per_track, noise_snr_db, reverb_time,
                    velocity_range, timbre_jitter, estimate_velocity,
                    data_parallel, bf16, accum_steps, remat, fused_lms,
-                   seed, root_dir):
+                   num_workers, seed, root_dir):
     difficulty = dict(noise_snr_db=noise_snr_db, reverb_time=reverb_time,
                       velocity_range=(tuple(velocity_range)
                                       if velocity_range else None),
@@ -158,7 +162,8 @@ def synthetic_demo(sample_rate, hop_length, num_frames, iterations,
                               **difficulty)
 
     train_loader = DataLoader(train_set, batch_size=batch_size, shuffle=True,
-                              drop_last=True, seed=seed)
+                              drop_last=True, seed=seed,
+                              num_workers=num_workers)
 
     dtype = jnp.bfloat16 if bf16 else None
     if estimate_velocity:

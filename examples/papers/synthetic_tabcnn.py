@@ -86,6 +86,10 @@ def config():
     # The random seed for this experiment
     seed = 0
 
+    # DataLoader prefetch threads (0 = synchronous; >0 overlaps crop/collate
+    # with the device step, deterministic per-item crop seeds)
+    num_workers = 4
+
 
 @ex.automain
 def synthetic_tabcnn(sample_rate, hop_length, num_frames, iterations,
@@ -93,7 +97,7 @@ def synthetic_tabcnn(sample_rate, hop_length, num_frames, iterations,
                      num_train_tracks, num_test_tracks, track_duration,
                      notes_per_track, noise_snr_db, reverb_time,
                      velocity_range, timbre_jitter, data_parallel, bf16,
-                     seed, root_dir):
+                     num_workers, seed, root_dir):
     difficulty = dict(noise_snr_db=noise_snr_db, reverb_time=reverb_time,
                       velocity_range=(tuple(velocity_range)
                                       if velocity_range else None),
@@ -135,7 +139,8 @@ def synthetic_tabcnn(sample_rate, hop_length, num_frames, iterations,
                                splits=['test'], **difficulty)
 
     train_loader = DataLoader(train_set, batch_size=batch_size, shuffle=True,
-                              drop_last=True, seed=seed)
+                              drop_last=True, seed=seed,
+                              num_workers=num_workers)
 
     model = TabCNN(dim_in=data_proc.get_feature_size(), profile=profile,
                    in_channels=data_proc.get_num_channels(),

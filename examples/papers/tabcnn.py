@@ -81,11 +81,15 @@ def config():
     # The random seed for this experiment
     seed = 0
 
+    # DataLoader prefetch threads (0 = synchronous; >0 overlaps crop/collate
+    # with the device step, deterministic per-item crop seeds)
+    num_workers = 4
+
 
 @ex.automain
 def tabcnn_cross_val(sample_rate, hop_length, num_frames, iterations,
                      checkpoints, batch_size, data_parallel, reset_data,
-                     gset_base_dir, folds, bf16, seed, root_dir):
+                     gset_base_dir, folds, bf16, num_workers, seed, root_dir):
     # Initialize the default guitar profile
     profile = tools.GuitarProfile(num_frets=19)
 
@@ -137,7 +141,8 @@ def tabcnn_cross_val(sample_rate, hop_length, num_frames, iterations,
                                   batch_size=batch_size,
                                   shuffle=True,
                                   drop_last=True,
-                                  seed=seed)
+                                  seed=seed,
+                                  num_workers=num_workers)
 
         print(f'Loading testing partition (player {test_splits[0]})...')
 
