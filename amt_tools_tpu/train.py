@@ -70,8 +70,14 @@ def init_state(model, optimizer, example_batch, rng=None):
     init_rng, dropout_rng, state_rng = jax.random.split(rng, 3)
 
     batch = model.pre_proc(dict(example_batch))
-    variables = model.init({'params': init_rng, 'dropout': dropout_rng},
-                           batch[tools.KEY_FEATS], train=False)
+    # Jitted init: the eager path materializes every intermediate op by op,
+    # which on a remote-attached device costs a round trip per op (measured
+    # in MINUTES for whole-track inits through the axon tunnel). RNG draws
+    # are identical either way (threefry is trace-deterministic).
+    init_fn = jax.jit(lambda rngs, feats: model.init(rngs, feats,
+                                                     train=False))
+    variables = init_fn({'params': init_rng, 'dropout': dropout_rng},
+                        batch[tools.KEY_FEATS])
 
     params = variables['params']
     batch_stats = variables.get('batch_stats', {})
