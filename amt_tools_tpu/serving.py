@@ -190,6 +190,14 @@ class _ServingPipeline:
         if mesh is not None:
             from .parallel import replicate
             self.variables = replicate(self.variables, mesh)
+        else:
+            # Pin the variables on device once: checkpoints restored from
+            # npz/orbax arrive as HOST numpy trees, and a jitted call with
+            # host operands re-uploads the whole parameter tree EVERY
+            # dispatch (measured 8x pipeline slowdown through the axon
+            # tunnel — ~2 s/batch of param upload for O&F2-c3)
+            import jax
+            self.variables = jax.device_put(self.variables)
 
         self._pipelines = {capacity: self._build_pipeline(capacity)}
         self._pipeline = self._pipelines[capacity]
