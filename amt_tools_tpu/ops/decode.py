@@ -115,6 +115,22 @@ def tablature_to_stacked_multi_pitch(tablature, profile):
     return one_hot.astype(jnp.float32)
 
 
+def tablature_to_local_multi_pitch(tablature, num_classes):
+    """(..., S, T) class ids -> (..., S, num_classes, T) LOCAL one-hot.
+
+    Fret-space variant of :func:`tablature_to_stacked_multi_pitch`: row f
+    is "fret f active on this string" rather than an absolute pitch row,
+    so each string's map has ``num_classes`` (frets + 1) rows instead of
+    the instrument's full pitch range — the note decode does ~half the
+    row work on a standard guitar (20 fret classes vs a 44-pitch range).
+    Map a decoded row back to MIDI with ``row + tuning[string]``.
+    """
+
+    one_hot = jnp.arange(num_classes)[:, None] == tablature[..., None, :]
+
+    return one_hot.astype(jnp.float32)
+
+
 def stacked_multi_pitch_to_tablature(stacked_multi_pitch, profile):
     """(..., S, F, T) stack -> (..., S, T) class ids (-1 = silence)."""
 
@@ -297,12 +313,14 @@ def notes_on_device(multi_pitch, onsets=None, capacity=1024):
 
 
 def notes_from_device(pitch_rows, onset_frames, offset_frames, count,
-                      times, profile):
+                      times, profile, low=None):
     """Host finalization of :func:`notes_on_device` buffers.
 
     Returns ``(pitches, intervals)`` identical to
     ``tools.multi_pitch_to_notes`` on the same activation map. O(count) —
-    no per-frame work.
+    no per-frame work. ``low`` overrides the row -> MIDI offset (default
+    ``profile.low``; pass the string's open tuning for LOCAL fret-space
+    maps, see :func:`tablature_to_local_multi_pitch`).
     """
 
     import warnings
@@ -328,7 +346,7 @@ def notes_from_device(pitch_rows, onset_frames, offset_frames, count,
     times = np.asarray(times)
     times_ext = np.append(times, times[-1] + utils.estimate_hop_length(times))
 
-    pitches = rows + profile.low
+    pitches = rows + (profile.low if low is None else low)
     intervals = np.stack([times[on], times_ext[off]], axis=-1)
 
     return utils.sort_notes(pitches.astype(float), intervals)
