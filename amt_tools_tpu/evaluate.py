@@ -69,6 +69,13 @@ def validate(model, variables, dataset, evaluator, estimator=None,
 
     from .inference import run_offline, run_online
 
+    # Pin variables on device once: checkpoint-restored trees arrive as
+    # host numpy, and a jitted forward with host operands re-uploads the
+    # whole parameter tree EVERY track (the serving-pipeline fix applied
+    # to the eval loop; measured 8x pipeline slowdown in serving)
+    import jax
+    variables = jax.device_put(variables)
+
     if batch_size > 1:
         if bucket and not online:
             return _validate_batched(model, variables, dataset, evaluator,
