@@ -284,8 +284,16 @@ class TranscriptionDataset(object):
                     data[tools.KEY_AUDIO]))
 
         data = self.load(track_id)
-        if tools.KEY_FEATS not in data:
-            data.update(self.calculate_feats(data))
+        if tools.query_dict(data, tools.KEY_FEATS):
+            return int(np.asarray(data[tools.KEY_FEATS]).shape[-1])
+        if tools.query_dict(data, tools.KEY_AUDIO):
+            # Frame algebra on the audio length — do NOT compute features
+            # just for a shape (the probe exists to avoid double feature
+            # work on disk-backed datasets)
+            return int(self.data_proc.get_expected_frames(
+                data[tools.KEY_AUDIO]))
+
+        data.update(self.calculate_feats(data))
         return int(np.asarray(data[tools.KEY_FEATS]).shape[-1])
 
     @abstractmethod
@@ -423,8 +431,14 @@ class DataLoader(object):
         yield from self._iter_workers()
 
     def _make_batch(self, idcs, seeds):
-        samples = [self.dataset.get_item(i, rng=np.random.RandomState(s))
-                   for i, s in zip(idcs, seeds)]
+        if hasattr(self.dataset, 'get_item'):
+            samples = [self.dataset.get_item(i, rng=np.random.RandomState(s))
+                       for i, s in zip(idcs, seeds)]
+        else:
+            # Duck-typed datasets exposing only __getitem__ still work
+            # under workers; their internally drawn randomness (if any) is
+            # then scheduling-dependent
+            samples = [self.dataset[i] for i in idcs]
         return collate(samples)
 
     def _iter_workers(self):
@@ -453,9 +467,15 @@ class DataLoader(object):
                 yield pending.popleft().result()
         finally:
             # A consumer that stops early (e.g. train(single_batch=True))
-            # must not leak queued work into the next epoch
+            # must not leak work into the next epoch: cancel what is still
+            # queued, then WAIT for futures already running — a leftover
+            # worker computing a track's features concurrently with the
+            # next epoch's worker could otherwise race on the same feats
+            # npz cache path
+            from concurrent.futures import wait as _wait
             for fut in pending:
                 fut.cancel()
+            _wait([f for f in pending if not f.cancelled()])
 
 
 def collate(samples):

@@ -115,8 +115,13 @@ def _validate_batched(model, variables, dataset, evaluator, estimator,
     for track_id in dataset.tracks:
         # Cheap frame-count probe — the grouping pass must not load every
         # track's full data a second time (disk-backed datasets would pay
-        # double I/O for the whole eval pass)
-        num_frames = dataset.get_track_frames(track_id)
+        # double I/O for the whole eval pass). Duck-typed datasets without
+        # the probe fall back to a full load.
+        if hasattr(dataset, 'get_track_frames'):
+            num_frames = dataset.get_track_frames(track_id)
+        else:
+            track_data = dataset.get_track_data(track_id)
+            num_frames = np.asarray(track_data[tools.KEY_FEATS]).shape[-1]
         padded = -(-num_frames // bucket) * bucket
         groups[padded].append(track_id)
 

@@ -169,7 +169,8 @@ class _ServingPipeline:
     mesh replication, quant-stats validation, frame-time cache, and the
     async dispatch/finalize protocol. Subclasses provide
     ``_build_pipeline(capacity)`` (the jittable device function) and
-    ``_finalize_clip``/``_overflowed`` (host decode of one clip's buffers).
+    ``_finalize_clip`` (host decode of one clip's buffers; overflow
+    re-decodes are handled here by ``finalize``/``_redecode_overflow``).
     """
 
     def __init__(self, model, variables, data_proc, capacity, mesh=None):

@@ -21,6 +21,7 @@ and row-wise greedy passes). JAX device-side counterparts for everything needed
 inside ``jit`` live in ``amt_tools_tpu.ops``.
 """
 
+import os
 import time
 import warnings
 from copy import deepcopy
@@ -1514,9 +1515,26 @@ def slice_track(track, start, stop, skip=None, pad=True):
 
 
 def save_dict_npz(path, d):
-    """Save a flat dictionary to an npz file (object entries pickled)."""
+    """Save a flat dictionary to an npz file (object entries pickled).
 
-    np.savez_compressed(path, **d)
+    Atomic: written to a temp file and renamed, so a concurrent writer or
+    an interrupted run can never leave a truncated cache entry behind
+    (dataset feature/ground-truth caches are shared across processes).
+    """
+
+    path = str(path)
+    if not path.endswith('.npz'):
+        # np.savez appends .npz when missing; pin it so the rename matches
+        path += '.npz'
+
+    tmp = f'{path}.tmp.{os.getpid()}'
+    try:
+        np.savez_compressed(tmp, **d)
+        # np.savez appended .npz to the temp name too
+        os.replace(f'{tmp}.npz', path)
+    finally:
+        if os.path.exists(f'{tmp}.npz'):
+            os.remove(f'{tmp}.npz')
 
 
 def load_dict_npz(path):
