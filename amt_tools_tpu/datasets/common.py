@@ -95,10 +95,27 @@ class TranscriptionDataset(object):
                 with ThreadPoolExecutor(max_workers=preload_workers) as pool:
                     for track, data in zip(self.tracks,
                                            pool.map(self.load, self.tracks)):
-                        self.data[track] = data
+                        self.data[track] = self._freeze_cached(data)
             else:
                 for track in self.tracks:
-                    self.data[track] = self.load(track)
+                    self.data[track] = self._freeze_cached(self.load(track))
+
+    @staticmethod
+    def _freeze_cached(data):
+        """Mark cached numpy arrays read-only before they enter the RAM cache.
+
+        ``get_track_data`` hands whole-track entries out by reference (a deep
+        copy per crop was the dominant host cost of the training loop), so an
+        accidental in-place mutation downstream would corrupt the cache for
+        every later epoch. Clearing the writeable flag turns that silent
+        corruption into an immediate ValueError.
+        """
+
+        for value in (data or {}).values():
+            if isinstance(value, np.ndarray):
+                value.flags.writeable = False
+
+        return data
 
     def __len__(self):
         return len(self.tracks)
@@ -181,6 +198,7 @@ class TranscriptionDataset(object):
             if feats is not None:
                 self.data[track][tools.KEY_FEATS] = feats
             self.data[track][tools.KEY_TIMES] = times
+            self._freeze_cached(self.data[track])
 
         return data
 

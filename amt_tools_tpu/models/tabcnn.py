@@ -40,6 +40,23 @@ class TabCNN(TranscriptionModel):
     online: bool = False
     fullseq: bool = False
 
+    @nn.nowrap
+    def _check_fullseq_geometry(self):
+        """Fullseq equivalence is proven only for the 9-frame windows.
+
+        Three 3x3 VALID convs leave ``frame_width - 6`` surviving window-time
+        positions; the stride-(2, 1) pool + trim reproduces the per-window
+        (2, 2)/(2, 2) pool only when that count is 3 (frame_width == 9, the
+        reference geometry). Other widths would fail later via an opaque
+        dense1 parameter-shape mismatch — fail loudly here instead.
+        """
+
+        if self.frame_width != 9:
+            raise ValueError(
+                f'fullseq=True requires frame_width == 9 (the geometry whose '
+                f'pool equivalence is established); got {self.frame_width}. '
+                f'Use the windowed forward (fullseq=False) for other widths.')
+
     @property
     def num_groups(self):
         return self.profile.get_num_dofs()
@@ -63,6 +80,7 @@ class TabCNN(TranscriptionModel):
         feats = jnp.asarray(batch[tools.KEY_FEATS])
 
         if self.fullseq:
+            self._check_fullseq_geometry()
             pad = self.frame_width // 2
             # (B, C, F, T) -> (B, F, T + 2*pad, C)
             feats = jnp.pad(feats, ((0, 0), (0, 0), (0, 0), (pad, pad)))
@@ -119,6 +137,7 @@ class TabCNN(TranscriptionModel):
         output = {}
 
         if self.fullseq:
+            self._check_fullseq_geometry()
             batch_size = feats.shape[0]
             num_frames = feats.shape[2] - (self.frame_width - 1)  # original T
 

@@ -105,9 +105,10 @@ def peak_flops(device=None, dtype='bf16'):
     """Peak matmul FLOP/s of a TPU device (0.0 if unknown).
 
     Published per-chip dense peaks; used as the MFU denominator.
-    ``dtype='int8'`` returns the int8 MXU peak (2x bf16 on v5e/v6e;
-    v4/v5p run int8 at the bf16 rate) so quantized-mode MFU is measured
-    against the rate the hardware actually offers that format.
+    ``dtype='int8'`` returns the int8 MXU peak (2x bf16 on v5e/v5p/v6e —
+    918 INT8 TOPS on v5p per Google's spec; v4 runs int8 at the bf16 rate)
+    so quantized-mode MFU is measured against the rate the hardware
+    actually offers that format.
     """
 
     import jax
@@ -118,7 +119,7 @@ def peak_flops(device=None, dtype='bf16'):
     kind = getattr(device, 'device_kind', '').lower()
     table = {
         'v5 lite': (197e12, 394e12), 'v5e': (197e12, 394e12),
-        'v5p': (459e12, 459e12), 'v5': (459e12, 459e12),
+        'v5p': (459e12, 918e12), 'v5': (459e12, 918e12),
         'v4': (275e12, 275e12),
         'v6 lite': (918e12, 1836e12), 'v6e': (918e12, 1836e12),
     }

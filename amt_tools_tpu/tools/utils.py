@@ -1527,7 +1527,11 @@ def save_dict_npz(path, d):
         # np.savez appends .npz when missing; pin it so the rename matches
         path += '.npz'
 
-    tmp = f'{path}.tmp.{os.getpid()}'
+    # pid alone is not unique: two loader threads in one process writing
+    # the same cache path would race on the temp file and could rename a
+    # corrupted archive into the shared cache
+    import threading
+    tmp = f'{path}.tmp.{os.getpid()}.{threading.get_ident()}'
     try:
         np.savez_compressed(tmp, **d)
         # np.savez appended .npz to the temp name too
