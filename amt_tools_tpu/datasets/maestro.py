@@ -14,6 +14,11 @@ from .maps import MAPS
 class _MAESTRO(MAPS):
     """Either version of MAESTRO; ground-truth handling shared with MAPS."""
 
+    # Overridable so tests can exercise the real download/unzip/re-root
+    # chain against a local fixture server (reference semantics:
+    # ``amt_tools/datasets/MAESTRO.py:176-302``)
+    GCS_BASE = 'https://storage.googleapis.com/magentadata/datasets/maestro'
+
     def __init__(self, base_dir=None, splits=None, hop_length=512,
                  sample_rate=16000, data_proc=None, profile=None,
                  num_frames=None, audio_norm=-1, split_notes=False,
@@ -67,8 +72,7 @@ class _MAESTRO(MAPS):
 
         print(f'Downloading {cls.dataset_name()}')
 
-        url = f'https://storage.googleapis.com/magentadata/datasets/maestro/' \
-              f'{cls.url_version()}/{cls.url_version()}.zip'
+        url = f'{cls.GCS_BASE}/{cls.url_version()}/{cls.url_version()}.zip'
 
         zip_path = os.path.join(save_dir, os.path.basename(url))
 

@@ -182,6 +182,10 @@ class LanguageModel(nn.Module):
     # the hoisted (B*T, E) @ (E, 4H) contractions are the LMs' only
     # MXU-bound matmuls — the recurrence itself is latency-bound
     quant: Any = False
+    # Opt-in: use the Pallas BPTT kernel for TRAINING too (see __call__
+    # comment; measured slower at batch 8, re-measured at batch 32+remat
+    # via ``bench.py train pallas`` — RESULTS.md)
+    pallas_train: bool = False
 
     @nn.compact
     def __call__(self, feats, train=False, lengths=None):
@@ -193,15 +197,17 @@ class LanguageModel(nn.Module):
         # BPTT kernel), but at recipe-scale training batches the XLA scan
         # measures faster (O&F2-c3: 140 vs 197 ms/step bf16 — small-batch
         # steps are overhead-bound and the residual writes cost more than
-        # the scan saves), so training keeps the scan as a perf choice.
+        # the scan saves), so training keeps the scan by default;
+        # ``pallas_train=True`` opts training into the kernel.
+        allow_pallas = (not train) or self.pallas_train
         if self.bidirectional:
             return FastBiLSTM(features=hidden, dtype=self.dtype,
                               quant=self.quant)(
-                feats, lengths=lengths, allow_pallas=not train)
+                feats, lengths=lengths, allow_pallas=allow_pallas)
 
         return FastLSTM(features=hidden, dtype=self.dtype,
                         quant=self.quant)(
-            feats, lengths=lengths, allow_pallas=not train)
+            feats, lengths=lengths, allow_pallas=allow_pallas)
 
 
 class OnlineLanguageModel(nn.Module):
@@ -576,6 +582,9 @@ class OnsetsFrames(TranscriptionModel):
     # RESULTS.md round 3) — kept opt-in for lowerings where grouping pays.
     # fuse/unfuse_lm_variables convert checkpoints between layouts.
     fused_lms: bool = False
+    # Opt-in: route the LMs' TRAINING recurrence through the Pallas BPTT
+    # kernel (inference always uses the kernel). Parameter tree unchanged.
+    pallas_lms: bool = False
 
     @property
     def head_names(self):
@@ -672,13 +681,15 @@ class OnsetsFrames(TranscriptionModel):
         else:
             self.onset_lm = LanguageModel(self.dim_am, self.dim_lm,
                                           dtype=self.dtype,
-                                          quant=self.quant_lm)
+                                          quant=self.quant_lm,
+                                          pallas_train=self.pallas_lms)
         self.onset_out = LogisticBank(dim_in=self.dim_lm, dim_out=self.dim_out)
 
         self.pitch_out = LogisticBank(dim_in=self.dim_am, dim_out=self.dim_out)
 
         self.adjoin_lm = LanguageModel(self.dim_aj, self.dim_lm,
-                                       dtype=self.dtype, quant=self.quant_lm)
+                                       dtype=self.dtype, quant=self.quant_lm,
+                                       pallas_train=self.pallas_lms)
         self.adjoin_out = LogisticBank(dim_in=self.dim_lm, dim_out=self.dim_out)
 
     def __call__(self, feats, train=False, lengths=None):
@@ -781,7 +792,8 @@ class OnsetsFrames2(OnsetsFrames):
         if not self.fused_lms:
             self.offset_lm = LanguageModel(self.dim_am, self.dim_lm,
                                            dtype=self.dtype,
-                                           quant=self.quant_lm)
+                                           quant=self.quant_lm,
+                                           pallas_train=self.pallas_lms)
         self.offset_out = LogisticBank(dim_in=self.dim_lm, dim_out=self.dim_out)
 
         if self.estimate_velocity:
@@ -794,7 +806,8 @@ class OnsetsFrames2(OnsetsFrames):
             if not self.fused_lms:
                 self.velocity_lm = LanguageModel(self.dim_am, self.dim_lm,
                                                  dtype=self.dtype,
-                                                 quant=self.quant_lm)
+                                                 quant=self.quant_lm,
+                                                 pallas_train=self.pallas_lms)
             self.velocity_out = RegressionBank(dim_in=self.dim_lm,
                                                dim_out=self.dim_out)
 

@@ -151,6 +151,47 @@ def compiled_flops(fn, *args, **kwargs):
     return float(cost.get('flops', 0.0))
 
 
+def compiled_cost(fn, *args, **kwargs):
+    """XLA cost analysis of one call: ``(flops, bytes_accessed)``.
+
+    ``bytes_accessed`` is the compiler's estimate of total memory traffic
+    (HBM reads + writes across fused ops) — the numerator of a roofline:
+    dividing by the measured wall-clock and the chip's HBM bandwidth
+    (:func:`peak_hbm_bw`) says how close a stage runs to the memory bound.
+    """
+
+    compiled = fn.lower(*args, **kwargs).compile()
+
+    cost = compiled.cost_analysis()
+    if isinstance(cost, list):
+        cost = cost[0]
+
+    return float(cost.get('flops', 0.0)), \
+        float(cost.get('bytes accessed', 0.0))
+
+
+def peak_hbm_bw(device=None):
+    """Published per-chip HBM bandwidth in bytes/s (0.0 if unknown)."""
+
+    import jax
+
+    if device is None:
+        device = jax.devices()[0]
+
+    kind = getattr(device, 'device_kind', '').lower()
+    table = {
+        'v5 lite': 819e9, 'v5e': 819e9,
+        'v5p': 2765e9, 'v5': 2765e9,
+        'v4': 1228e9,
+        'v6 lite': 1640e9, 'v6e': 1640e9,
+    }
+    for key, bw in table.items():
+        if key in kind:
+            return bw
+
+    return 0.0
+
+
 def mfu(fn, *args, repeats=5, device=None, **kwargs):
     """Measured model FLOPs utilization of a jitted callable.
 

@@ -541,6 +541,118 @@ def bench_tabcnn(emit=True):
     return result
 
 
+def bench_tabcnn_roofline():
+    """Per-stage roofline of the guitar pipeline (``bench.py tabcnn roofline``).
+
+    For each stage (CQT frontend, fullseq TabCNN forward, tablature note
+    decode, fused pipeline): measured ms, XLA-accounted GFLOP and GB of
+    memory traffic, achieved TFLOP/s vs the MXU peak and achieved GB/s vs
+    the HBM peak — the quantitative form of 'bandwidth-shaped, not
+    MXU-shaped' (round-4 verdict item 2). Also sweeps the fused pipeline
+    over batch 32/64/128. Stderr table + one JSON line.
+    """
+
+    import jax
+    import jax.numpy as jnp
+
+    try:
+        jax.config.update('jax_compilation_cache_dir',
+                          os.path.expanduser('~/.cache/jax'))
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+    except Exception:
+        pass
+
+    from amt_tools_tpu import profiling, tools
+
+    batch_size = int(os.environ.get('AMT_BENCH_BATCH', 64))
+    clip_seconds = float(os.environ.get('AMT_BENCH_CLIP_SECONDS', 60.0))
+
+    pipeline, audio = build_tabcnn_pipeline(batch_size, clip_seconds)
+    model, variables, cqt = pipeline.model, pipeline.variables, pipeline.data_proc
+
+    peak_flops = profiling.peak_flops(jax.devices()[0])
+    peak_bw = profiling.peak_hbm_bw(jax.devices()[0])
+
+    def stage(name, fn, *args, runs=6):
+        jitted = jax.jit(fn)
+        flops, nbytes = 0.0, 0.0
+        try:
+            flops, nbytes = profiling.compiled_cost(jitted, *args)
+        except Exception as exc:
+            _log(f'cost analysis unavailable for {name}: {exc}')
+        out = jitted(*args)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(runs):
+            out = jitted(*args)
+        jax.block_until_ready(out)
+        secs = (time.perf_counter() - t0) / runs
+
+        tflops = flops / secs / 1e12
+        gbs = nbytes / secs / 1e9
+        _log(f'{name:26s} {secs * 1e3:7.1f} ms  {flops / 1e9:8.1f} GFLOP  '
+             f'{nbytes / 1e9:7.2f} GB  '
+             f'{tflops:7.2f} TFLOP/s ({tflops * 1e12 / peak_flops * 100:5.1f}% MXU)  '
+             f'{gbs:7.1f} GB/s ({gbs * 1e9 / peak_bw * 100:5.1f}% HBM)')
+
+        return {'ms': round(secs * 1e3, 1), 'gflop': round(flops / 1e9, 1),
+                'gb': round(nbytes / 1e9, 3),
+                'mxu_pct': round(tflops * 1e12 / peak_flops * 100, 1),
+                'hbm_pct': round(gbs * 1e9 / peak_bw * 100, 1)}, out
+
+    _log(f'roofline at batch {batch_size} x {clip_seconds:.0f}s '
+         f'(peaks: {peak_flops / 1e12:.0f} TFLOP/s bf16, '
+         f'{peak_bw / 1e9:.0f} GB/s HBM)')
+
+    r_cqt, feats = stage('CQT frontend', cqt.process_jax, audio)
+
+    def forward(variables, feats):
+        batch = model.pre_proc({tools.KEY_FEATS: feats})
+        return model.apply(variables, batch[tools.KEY_FEATS], train=False)
+
+    r_fwd, raw = stage('TabCNN forward (fullseq)', forward, variables, feats)
+
+    from amt_tools_tpu.models.common import SoftmaxGroups
+    head = SoftmaxGroups(dim_in=0,
+                         dim_out=model.num_groups * model.num_classes,
+                         num_groups=model.num_groups,
+                         num_classes=model.num_classes)
+    tablature = jax.jit(head.finalize_output)(raw[tools.KEY_TABLATURE])
+    jax.block_until_ready(tablature)
+
+    decode_fn = pipeline._decode_fn_for(512)
+    r_dec, _ = stage('note decode (per string)',
+                     lambda t: decode_fn(t), tablature)
+
+    r_fused, _ = stage('fused pipeline', pipeline._pipeline, variables, audio)
+
+    # Batch sweep of the fused pipeline (RTF per batch size)
+    sweep = {}
+    runs = int(os.environ.get('AMT_BENCH_RUNS', 6))
+    for b in (32, 64, 128):
+        try:
+            p_b, audio_b = (pipeline, audio) if b == batch_size \
+                else build_tabcnn_pipeline(b, clip_seconds)
+            p_b(audio_b)  # compile + warm
+            elapsed, _ = measure(p_b, audio_b, runs)
+            rtf = b * clip_seconds * runs / elapsed
+            sweep[b] = round(rtf, 1)
+            _log(f'batch {b:4d}: {rtf:9.1f}x RT')
+        except Exception as exc:
+            _log(f'batch {b} failed ({type(exc).__name__}: {exc})')
+
+    result = {
+        'metric': 'tabcnn_roofline_hbm_pct_fused',
+        'value': r_fused['hbm_pct'],
+        'unit': '% of HBM bandwidth (fused pipeline, XLA-accounted traffic)',
+        'vs_baseline': 0.0,
+        'stages': {'cqt': r_cqt, 'forward': r_fwd, 'decode': r_dec,
+                   'fused': r_fused},
+        'batch_sweep_rtf': sweep,
+    }
+    print(json.dumps(result))
+
+
 def breakdown(quant='static'):
     """Per-component timings at the headline config (stderr only).
 
@@ -661,7 +773,8 @@ def bench_train():
     dim_out = profile.get_range_len()
     peak = profiling.peak_flops(jax.devices()[0])
 
-    def one_config(batch_size, bf16, steps=100, remat=False, fused_lms=False):
+    def one_config(batch_size, bf16, steps=100, remat=False, fused_lms=False,
+                   pallas_lms=False):
         # NOTE: timings MUST amortize over a long step horizon. Through the
         # axon tunnel, short windows (and even per-step block_until_ready)
         # report impossibly fast times (>100% MFU) from queue pipelining;
@@ -669,7 +782,7 @@ def bench_train():
         # (cross-checked against loss-decreasing 200-step runs).
         model = OnsetsFrames2(dim_in=229, profile=profile,
                               model_complexity=3, remat=remat,
-                              fused_lms=fused_lms,
+                              fused_lms=fused_lms, pallas_lms=pallas_lms,
                               dtype=jnp.bfloat16 if bf16 else None)
         optimizer = optax.adam(6e-4)
 
@@ -706,7 +819,8 @@ def bench_train():
         steps_per_sec = steps / elapsed
         mfu = flops * steps_per_sec / peak if peak else 0.0
         _log(f'train batch {batch_size:3d} {"bf16" if bf16 else "f32 "}'
-             f'{" remat" if remat else ""}{" fused-lm" if fused_lms else ""}: '
+             f'{" remat" if remat else ""}{" fused-lm" if fused_lms else ""}'
+             f'{" pallas-lm" if pallas_lms else ""}: '
              f'{steps_per_sec:6.2f} steps/s, '
              f'{steps_per_sec * batch_size * num_frames * 512 / 16000:9.1f}x RT, '
              f'MFU {mfu * 100:5.2f}%')
@@ -804,6 +918,108 @@ def bench_train():
         'fused_lms_remat_steps_per_sec': round(fused_remat_sps, 3),
     }
     print(json.dumps(result))
+
+
+def bench_train_pallas():
+    """Pallas-LSTM TRAINING A/B at the measured sweet spot.
+
+    ``python bench.py train pallas``. The round-3 negative (scan faster
+    than the Pallas BPTT kernel) was measured at batch 8, where per-step
+    overhead dominates; the round-4 verdict asked for the re-measure at
+    the best training config — batch 32 + whole-stack remat, bf16 —
+    where the recurrence is a larger slice of the step. Interleaved
+    A/B not needed (same process, back to back); prints one JSON line.
+    """
+
+    import jax
+
+    try:
+        jax.config.update('jax_compilation_cache_dir',
+                          os.path.expanduser('~/.cache/jax'))
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+    except Exception:
+        pass
+
+    # Reuse bench_train's one_config via a tiny closure copy: simplest is
+    # to call bench_train's internals, so re-bind here.
+    results = {}
+    for pallas in (False, True):
+        sps, mfu_val = _train_one_config(batch_size=32, bf16=True, remat=True,
+                                         steps=60, pallas_lms=pallas)
+        results['pallas' if pallas else 'scan'] = (sps, mfu_val)
+
+    scan_sps, pallas_sps = results['scan'][0], results['pallas'][0]
+    _log(f'batch-32 remat bf16: scan {scan_sps:.2f} steps/s vs pallas-lm '
+         f'{pallas_sps:.2f} steps/s ({pallas_sps / scan_sps:.3f}x)')
+
+    print(json.dumps({
+        'metric': 'train_pallas_lm_vs_scan_speedup',
+        'value': round(pallas_sps / scan_sps, 3),
+        'unit': 'x (batch 32 + remat, bf16, 60 donated steps)',
+        'vs_baseline': round(pallas_sps / scan_sps, 3),
+        'scan_steps_per_sec': round(scan_sps, 3),
+        'pallas_steps_per_sec': round(pallas_sps, 3),
+    }))
+
+
+def _train_one_config(batch_size, bf16, steps=100, remat=False,
+                      fused_lms=False, pallas_lms=False):
+    """One donated-step training measurement (shared by train benches)."""
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from amt_tools_tpu import profiling, tools
+    from amt_tools_tpu.models import OnsetsFrames2
+    from amt_tools_tpu.train import init_state, make_train_step
+
+    num_frames = 625
+    profile = tools.PianoProfile()
+    dim_out = profile.get_range_len()
+    peak = profiling.peak_flops(jax.devices()[0])
+
+    model = OnsetsFrames2(dim_in=229, profile=profile,
+                          model_complexity=3, remat=remat,
+                          fused_lms=fused_lms, pallas_lms=pallas_lms,
+                          dtype=jnp.bfloat16 if bf16 else None)
+    optimizer = optax.adam(6e-4)
+
+    rng = np.random.RandomState(0)
+    batch = {
+        tools.KEY_FEATS: rng.rand(batch_size, 1, 229, num_frames)
+        .astype(np.float32),
+        tools.KEY_MULTIPITCH: (rng.rand(batch_size, dim_out, num_frames)
+                               > 0.97).astype(np.float32),
+    }
+
+    state = init_state(model, optimizer, batch)
+    step = make_train_step(model, optimizer)
+
+    flops = 0.0
+    try:
+        flops = profiling.compiled_flops(step, state, batch)
+    except Exception as exc:
+        _log(f'cost analysis unavailable: {exc}')
+
+    for _ in range(2):
+        state, loss = step(state, batch)
+    float(loss[tools.KEY_LOSS_TOTAL])
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, loss = step(state, batch)
+    float(loss[tools.KEY_LOSS_TOTAL])
+    elapsed = time.perf_counter() - t0
+
+    steps_per_sec = steps / elapsed
+    mfu = flops * steps_per_sec / peak if peak else 0.0
+    _log(f'train batch {batch_size:3d} {"bf16" if bf16 else "f32 "}'
+         f'{" remat" if remat else ""}{" fused-lm" if fused_lms else ""}'
+         f'{" pallas-lm" if pallas_lms else ""}: '
+         f'{steps_per_sec:6.2f} steps/s, MFU {mfu * 100:5.2f}%')
+
+    return steps_per_sec, mfu
 
 
 def _train_quick_result():
@@ -1169,6 +1385,88 @@ def scoreboard():
     print(json.dumps(result))
 
 
+def bench_ab():
+    """Trained-weights int8-static vs bf16 A/B (``python bench.py ab``).
+
+    The decision protocol for whether int8-static keeps the headline
+    (round-4 verdict item 4): BOTH pipelines carry the SAME trained
+    parameter tree, both are measured in THIS process with the same
+    median-of-windows protocol, in interleaved A/B/A/B window order so
+    slow tunnel drift cancels rather than biasing one arm. Run across
+    >= 3 sessions; the pooled median decides. Prints one JSON line.
+    """
+
+    import jax
+
+    try:
+        jax.config.update('jax_compilation_cache_dir',
+                          os.path.expanduser('~/.cache/jax'))
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+    except Exception:
+        pass
+
+    from amt_tools_tpu.serving import (TranscriptionPipeline,
+                                       calibrate_quant_stats)
+
+    batch_size = int(os.environ.get('AMT_BENCH_BATCH', 128))
+    clip_seconds = float(os.environ.get('AMT_BENCH_CLIP_SECONDS', 60.0))
+    runs = int(os.environ.get('AMT_BENCH_RUNS', 8))
+    windows = int(os.environ.get('AMT_BENCH_WINDOWS', 5))
+
+    params, batch_stats = _train_flagship_variables()
+    variables = {'params': params, 'batch_stats': batch_stats}
+
+    _log('building trained-weights pipelines (int8-static + bf16)...')
+    base, audio = build_pipeline(batch_size, clip_seconds, quant='static')
+    data_proc = base.data_proc
+
+    quant_model = base.model
+    q_variables = calibrate_quant_stats(quant_model, variables, data_proc,
+                                        audio[:4])
+    q_pipeline = TranscriptionPipeline(quant_model, q_variables, data_proc,
+                                       capacity=NOTE_CAPACITY)
+    f_pipeline = TranscriptionPipeline(
+        quant_model.clone(quant_acoustic=False, quant_lm=False), q_variables,
+        data_proc, capacity=NOTE_CAPACITY)
+
+    q_pipeline(audio)  # compile + warm both arms before any timing
+    f_pipeline(audio)
+
+    # Interleaved windows: any monotone tunnel drift hits both arms equally
+    q_elapsed, f_elapsed = [], []
+    for w in range(windows):
+        eq, _ = measure(q_pipeline, audio, runs)
+        ef, _ = measure(f_pipeline, audio, runs)
+        q_elapsed.append(eq)
+        f_elapsed.append(ef)
+        _log(f'window {w + 1}/{windows}: int8 {eq:.2f}s bf16 {ef:.2f}s '
+             f'(ratio {ef / eq:.3f})')
+
+    q_elapsed.sort()
+    f_elapsed.sort()
+    audio_seconds = batch_size * clip_seconds
+    rtf_q = audio_seconds * runs / q_elapsed[len(q_elapsed) // 2]
+    rtf_f = audio_seconds * runs / f_elapsed[len(f_elapsed) // 2]
+    band = [round((audio_seconds * runs / q_elapsed[-1]) /
+                  (audio_seconds * runs / f_elapsed[0]), 3),
+            round((audio_seconds * runs / q_elapsed[0]) /
+                  (audio_seconds * runs / f_elapsed[-1]), 3)]
+
+    result = {
+        'metric': 'trained_int8_vs_bf16_speedup',
+        'value': round(rtf_q / rtf_f, 3),
+        'unit': 'x (median-of-windows ratio, same process, trained weights)',
+        'vs_baseline': round(rtf_q / rtf_f, 3),
+        'trained_rtf_int8_static': round(rtf_q, 2),
+        'trained_rtf_bf16': round(rtf_f, 2),
+        'speedup_window_band': band,
+        'windows': windows,
+    }
+    _log(f'trained A/B: int8 {rtf_q:.0f}x vs bf16 {rtf_f:.0f}x -> '
+         f'{rtf_q / rtf_f:.3f}x (band {band})')
+    print(json.dumps(result))
+
+
 def bench_streaming(emit=True):
     """Streaming step latency, device time separated from tunnel RTT.
 
@@ -1289,13 +1587,19 @@ if __name__ == '__main__':
         bf16 = len(sys.argv) > 2 and sys.argv[2] == 'bf16'
         breakdown(quant=False if bf16 else 'static')
     elif len(sys.argv) > 1 and sys.argv[1] == 'train':
-        bench_train()
+        if len(sys.argv) > 2 and sys.argv[2] == 'pallas':
+            bench_train_pallas()
+        else:
+            bench_train()
     elif len(sys.argv) > 1 and sys.argv[1] == 'streaming':
         bench_streaming()
     elif len(sys.argv) > 1 and sys.argv[1] == 'trained':
         bench_trained()
     elif len(sys.argv) > 1 and sys.argv[1] == 'tabcnn':
-        bench_tabcnn()
+        if len(sys.argv) > 2 and sys.argv[2] == 'roofline':
+            bench_tabcnn_roofline()
+        else:
+            bench_tabcnn()
     elif len(sys.argv) > 1 and sys.argv[1] == 'int8':
         # 'static' = calibrated per-layer activation scales (the fast
         # mode); `int8 dynamic` benches the calibration-free runtime
@@ -1309,6 +1613,8 @@ if __name__ == '__main__':
     elif len(sys.argv) > 1 and sys.argv[1] == 'bf16':
         # The pre-round-3 headline config (float compute throughout)
         main()
+    elif len(sys.argv) > 1 and sys.argv[1] == 'ab':
+        bench_ab()
     elif len(sys.argv) > 1 and sys.argv[1] == 'serving':
         # The round-4 default: serving headline only (int8-static +
         # same-process bf16 control + agreement + trained companion)
