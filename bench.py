@@ -18,8 +18,9 @@ librosa+PyTorch pipeline is strictly slower than real time on CPU features.
 
 The headline config is the deployable int8-static serving mode
 (`quant_acoustic='static'`: calibrated per-layer activation scales, int8 MXU
-conv stacks, float parameter tree unchanged — measured 1.12-1.26x over bf16
-on v5e across sessions; the ratio varies with tunnel weather, which is why
+conv stacks, float parameter tree unchanged — ≈1.13x median over bf16 on
+v5e (same-process trained A/Bs; pooled band 1.05-1.26 across sessions,
+RESULTS.md); the ratio varies with tunnel weather, which is why
 the JSON line carries a SAME-process bf16 control measured with the same
 median-of-windows protocol, plus the int8-vs-bf16 note-agreement F1 and a
 trained-weights companion RTF/agreement, so the number ships with its own
