@@ -70,6 +70,13 @@ class VQT(FeatureModule):
         if self._pallas_enabled():
             from ..ops.pallas_cqt import cqt_mag_pallas
 
+            # block_t stays at the kernel default (64): a measured chip
+            # sweep (64/128/192/256, bit-exact outputs) was FLAT-to-worse
+            # (87.3/91.5/88.1/90.4 ms at batch 32 x 60 s) — the wavelet
+            # bank's per-block re-streaming hides behind the MXU passes,
+            # i.e. the kernel is compute-bound, not DMA-bound (RESULTS.md
+            # round 5; block_t >= 512 additionally trips the 16 MB
+            # scoped-vmem stack limit).
             if audio.ndim == 1:
                 mag = cqt_mag_pallas(audio, jnp.asarray(self._kernel),
                                      self._support, self.hop_length)

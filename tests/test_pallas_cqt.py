@@ -87,3 +87,33 @@ def test_cqt_quiet_bin_precision():
                                 interpret=True)
     got_pallas_db = np.asarray(cqt.post_proc(got_pallas))
     np.testing.assert_allclose(got_pallas_db, ref_db, atol=5e-3)
+
+
+def test_pallas_cqt_bf16x3_mode_accuracy():
+    """exact='high' (in-kernel 3-pass bf16x3) tracks the exact contraction.
+
+    The dropped lo*lo term and bf16 splits bound the error at O(2^-16) of
+    the frame energy. (exact=False's single-pass error is a TPU MXU
+    artifact — interpret mode on CPU runs DEFAULT dots in f32, so the
+    mode ORDERING can only be asserted on hardware; here we pin the
+    bf16x3 bound, whose casts are explicit and thus faithful on CPU.)
+    """
+
+    kernel, support = _bank()
+    rng = np.random.RandomState(1)
+    # Tonal audio: the hard case (quiet off-resonance bins next to loud
+    # partials) for low-precision contraction
+    t = np.arange(22050 * 2) / 22050.0
+    audio = (0.5 * np.sin(2 * np.pi * 220.0 * t) +
+             0.3 * np.sin(2 * np.pi * 331.3 * t) +
+             0.01 * rng.randn(t.size)).astype(np.float32)
+
+    args = (jnp.asarray(audio), jnp.asarray(kernel), support, 512)
+    kw = dict(block_t=8, tile_s=1024, interpret=True)
+
+    exact = np.asarray(cqt_mag_pallas(*args, exact=True, **kw))
+    high = np.asarray(cqt_mag_pallas(*args, exact='high', **kw))
+
+    err_high = np.max(np.abs(high - exact)) / exact.max()
+
+    assert 0 < err_high < 2e-4, f'bf16x3 error {err_high:.2e}'
