@@ -35,3 +35,59 @@ import pytest
 @pytest.fixture
 def rng():
     return np.random.RandomState(0)
+
+
+# --- test tiers -------------------------------------------------------------
+#
+# Three tiers (round-4 verdict item 8; budgets on the 1-CPU CI box with a
+# warm compile cache):
+#   smoke:   pytest -m "not slow and not mid"   (~2.5 min) - quick iteration
+#   fast:    pytest -m "not slow"               (~10 min)  - the default gate
+#   full:    pytest tests/                      (+ ~5 min) - paper scripts,
+#            DCN subprocesses, torch differentials
+#
+# The `mid` tier is assigned HERE rather than per-file so the list stays one
+# reviewable block, selected from measured --durations (2026-08-19 run:
+# 316 tests, 594 s fast tier; entries below total ~400 s). Entries are
+# either whole files or `file.py::test` prefixes (parametrizations match).
+
+_MID_FILES = {
+    'test_pipeline_flagship.py',   # 90 s: flagship pp stage-split compiles
+    'test_qconv.py',               # 38 s: int8 variants x calibration
+    'test_export.py',              # 38 s: jax.export AOT round trips
+    'test_fused_lms.py',           # 21 s: grouped-scan equivalence matrix
+    'test_fused_heads.py',         # 19 s: grouped-conv equivalence
+    'test_pallas_stft.py',         # 14 s: interpret-mode kernels
+    'test_bucketed_eval.py',       # 14 s: whole-track bucketed compiles
+    'test_resume_determinism.py',  # 11 s: two train runs + checkpoints
+}
+
+_MID_TESTS = {
+    'test_adversarial_fixtures.py::TestGuitarSetStyleJAMS::test_tablature_conversion_end_to_end',  # 43 s
+    'test_models.py::test_tabcnn_gradients_flow',                        # 26 s
+    'test_train.py::test_gradient_accumulation_matches_manual_average',  # 25 s
+    'test_models.py::test_remat_variants_are_bit_exact',                 # 32 s
+    'test_models.py::test_tabcnn_run_on_batch',                          # 7 s
+    'test_qconv.py::test_calibrate_quant_stats_running_max_and_model_wiring',
+    'test_velocity.py::test_velocity_loss_trains',                       # 9 s
+    'test_pallas_cqt.py::test_cqt_quiet_bin_precision',                  # 9 s
+    'test_tensor_parallel.py::test_dp_tp_step_matches_single_device',    # 8 s
+    'test_validate_flows.py::test_validate_online',                      # 7 s
+    'test_train.py::test_bf16_training_decreases_loss',                  # 7 s
+    'test_serving.py::test_pipeline_int8_static_data_parallel_matches_single_device',
+    'test_features.py::test_batched_db_features_match_per_clip',         # 6 s
+    'test_config_examples.py::test_transcribe_file_script',              # 5 s
+    'test_pallas_lstm.py::test_custom_vjp_matches_scan_gradients',       # 8 s
+    'test_context_parallel.py::test_tabcnn_whole_track_time_sharded',    # 4 s
+    'test_decode_ops.py::test_notes_on_device_empty_and_overflow',       # 4 s
+    'test_tablature_pipeline.py::test_tablature_pipeline_end_to_end',    # 4 s
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        nodeid = item.nodeid.split('/')[-1]          # file.py::test[param]
+        base = nodeid.split('[')[0]                  # file.py::test
+        file_name = nodeid.split('::')[0]
+        if file_name in _MID_FILES or base in _MID_TESTS:
+            item.add_marker(pytest.mark.mid)
