@@ -22,8 +22,14 @@ class VQT(FeatureModule):
 
     def __init__(self, sample_rate=22050, hop_length=512, decibels=True,
                  fmin=None, n_bins=84, bins_per_octave=12, gamma=None,
-                 frame_chunk=256, use_pallas='auto'):
+                 frame_chunk=256, use_pallas='auto', exact=True):
         super().__init__(sample_rate, hop_length, 1, decibels)
+
+        # Contraction precision of the fused kernel: True = 6-pass f32
+        # (reference-grade default), 'high' = in-kernel bf16x3 (3 MXU
+        # passes, measured 1.47x at serving shapes; error <=2e-4 on the
+        # final [0, 1] dB feature scale — the serving pipelines opt in)
+        self.exact = exact
 
         if fmin is None:
             # C1 by default
@@ -79,7 +85,8 @@ class VQT(FeatureModule):
             # scoped-vmem stack limit).
             if audio.ndim == 1:
                 mag = cqt_mag_pallas(audio, jnp.asarray(self._kernel),
-                                     self._support, self.hop_length)
+                                     self._support, self.hop_length,
+                                     exact=self.exact)
             else:
                 # Batched audio: vmap the fused kernel over lead axes
                 import jax
@@ -88,9 +95,11 @@ class VQT(FeatureModule):
                 flat = audio.reshape((-1, audio.shape[-1]))
                 mag = jax.vmap(lambda a: cqt_mag_pallas(
                     a, jnp.asarray(self._kernel), self._support,
-                    self.hop_length))(flat)
+                    self.hop_length, exact=self.exact))(flat)
                 mag = mag.reshape(lead + mag.shape[1:])
         else:
+            # The XLA fallback matmul runs in f32 on CPU either way;
+            # 'exact' only selects the fused kernel's pass count
             mag = spectral.cqt_mag(audio, jnp.asarray(self._kernel),
                                    self._support, self.hop_length,
                                    frame_chunk=self.frame_chunk)
@@ -117,8 +126,9 @@ class CQT(VQT):
 
     def __init__(self, sample_rate=22050, hop_length=512, decibels=True,
                  fmin=None, n_bins=84, bins_per_octave=12, frame_chunk=256,
-                 use_pallas='auto'):
+                 use_pallas='auto', exact=True):
         super().__init__(sample_rate=sample_rate, hop_length=hop_length,
                          decibels=decibels, fmin=fmin, n_bins=n_bins,
                          bins_per_octave=bins_per_octave, gamma=0.0,
-                         frame_chunk=frame_chunk, use_pallas=use_pallas)
+                         frame_chunk=frame_chunk, use_pallas=use_pallas,
+                         exact=exact)

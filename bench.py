@@ -412,8 +412,11 @@ def build_tabcnn_pipeline(batch_size, clip_seconds=60.0):
     sample_rate, hop = 22050, 512
 
     profile = tools.GuitarProfile(num_frets=19)
+    # exact='high': the 3-pass bf16x3 contraction (1.47x the 6-pass f32
+    # kernel at this shape; <=2e-4 on the dB feature scale — note-decode
+    # agreement is pinned by test_tablature_pipeline)
     cqt = CQT(sample_rate=sample_rate, hop_length=hop,
-              n_bins=192, bins_per_octave=24)
+              n_bins=192, bins_per_octave=24, exact='high')
     # fullseq: the exact-equivalent whole-sequence forward — the windowed
     # graph materializes a frame_width-fold larger conv activation (40 GB
     # at this config, HBM-infeasible; measured round 4)
@@ -574,13 +577,18 @@ def bench_tabcnn_roofline():
     peak_flops = profiling.peak_flops(jax.devices()[0])
     peak_bw = profiling.peak_hbm_bw(jax.devices()[0])
 
-    def stage(name, fn, *args, runs=6):
+    def stage(name, fn, *args, runs=6, cost=None):
         jitted = jax.jit(fn)
         flops, nbytes = 0.0, 0.0
-        try:
-            flops, nbytes = profiling.compiled_cost(jitted, *args)
-        except Exception as exc:
-            _log(f'cost analysis unavailable for {name}: {exc}')
+        if cost is not None:
+            # Analytic cost: XLA's cost analysis reports ~0 for Pallas
+            # custom kernels (their FLOPs/bytes are opaque to the HLO)
+            flops, nbytes = cost
+        else:
+            try:
+                flops, nbytes = profiling.compiled_cost(jitted, *args)
+            except Exception as exc:
+                _log(f'cost analysis unavailable for {name}: {exc}')
         out = jitted(*args)
         jax.block_until_ready(out)
         t0 = time.perf_counter()
@@ -605,13 +613,37 @@ def bench_tabcnn_roofline():
          f'(peaks: {peak_flops / 1e12:.0f} TFLOP/s bf16, '
          f'{peak_bw / 1e9:.0f} GB/s HBM)')
 
-    r_cqt, feats = stage('CQT frontend', cqt.process_jax, audio)
+    # Analytic cost for the Pallas CQT (XLA cost analysis reports ~0 for
+    # custom kernels). FLOPs: the wavelet contraction is frames x support
+    # x 2*n_bins MACs per clip, executed as `passes` MXU passes (6 for the
+    # f32 contraction, 3 for bf16x3) — pass-weighted so mxu_pct reads as
+    # hardware-pipe occupancy. Bytes: per (frame-block, support-tile) grid
+    # step the kernel DMAs the audio span + one bank tile, plus the output.
+    support, n_bins, hop = cqt._support, cqt.n_bins, cqt.hop_length
+    block_t, tile_s = 64, 2048
+    num_samples = audio.shape[-1]
+    frames = 1 + num_samples // hop
+    num_blocks = -(-frames // block_t)
+    num_tiles = support // tile_s
+    passes = {True: 6, 'high': 3, False: 1}[getattr(cqt, 'exact', True)]
+    span = (block_t - 1) * hop + tile_s
+    cqt_flops = batch_size * num_blocks * block_t * support * 2 * n_bins \
+        * 2 * passes
+    cqt_bytes = batch_size * (
+        num_blocks * num_tiles * (span + tile_s * 2 * n_bins) * 4
+        + num_blocks * block_t * n_bins * 4 + num_samples * 4)
 
-    def forward(variables, feats):
+    r_cqt, feats = stage('CQT frontend', cqt.process_jax, audio,
+                         cost=(cqt_flops, cqt_bytes))
+
+    def forward(feats):
+        # variables closed over (weights as compile-time constants): passing
+        # them as runtime args makes XLA cross-program-prefetch each one,
+        # which crashes this tunnel's AOT compile helper (HTTP 500)
         batch = model.pre_proc({tools.KEY_FEATS: feats})
         return model.apply(variables, batch[tools.KEY_FEATS], train=False)
 
-    r_fwd, raw = stage('TabCNN forward (fullseq)', forward, variables, feats)
+    r_fwd, raw = stage('TabCNN forward (fullseq)', forward, feats)
 
     from amt_tools_tpu.models.common import SoftmaxGroups
     head = SoftmaxGroups(dim_in=0,
@@ -625,7 +657,17 @@ def bench_tabcnn_roofline():
     r_dec, _ = stage('note decode (per string)',
                      lambda t: decode_fn(t), tablature)
 
-    r_fused, _ = stage('fused pipeline', pipeline._pipeline, variables, audio)
+    # Fused cost = XLA's accounting (which sees everything except the
+    # Pallas CQT custom call) + the analytic CQT cost from above
+    fused_xla = (0.0, 0.0)
+    try:
+        fused_xla = profiling.compiled_cost(
+            jax.jit(pipeline._pipeline), variables, audio)
+    except Exception as exc:
+        _log(f'cost analysis unavailable for fused pipeline: {exc}')
+    r_fused, _ = stage('fused pipeline', pipeline._pipeline, variables, audio,
+                       cost=(fused_xla[0] + cqt_flops,
+                             fused_xla[1] + cqt_bytes))
 
     # Batch sweep of the fused pipeline (RTF per batch size)
     sweep = {}
@@ -960,6 +1002,129 @@ def bench_train_pallas():
         'vs_baseline': round(pallas_sps / scan_sps, 3),
         'scan_steps_per_sec': round(scan_sps, 3),
         'pallas_steps_per_sec': round(pallas_sps, 3),
+    }))
+
+
+def bench_train_lr_equivalence():
+    """Batch-32 ↔ batch-8 recipe equivalence (``bench.py train lrscale``).
+
+    Measures what the recipe-equivalence guidance (RESULTS.md) claims:
+    train O&F2-c3 on a real synthetic corpus at the of_2 recipe (batch 8,
+    lr 6e-4) and at batch 32 under unscaled / sqrt / linear lr scaling,
+    at EQUAL SAMPLE BUDGET (batch·steps constant), same init, dropout on,
+    seeds pinned — then compare final train loss and a fixed held-out
+    eval-mode loss + frame F1. One JSON line.
+    """
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    try:
+        jax.config.update('jax_compilation_cache_dir',
+                          os.path.expanduser('~/.cache/jax'))
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+    except Exception:
+        pass
+
+    from amt_tools_tpu import tools
+    from amt_tools_tpu.datasets import SyntheticPiano
+    from amt_tools_tpu.features import MelSpec
+    from amt_tools_tpu.models import OnsetsFrames2
+    from amt_tools_tpu.train import init_state, make_train_step
+
+    fs, hop, crop = 16000, 512, 625  # of_2.py recipe crop
+    base_steps = int(os.environ.get('AMT_BENCH_LR_STEPS', 500))
+
+    profile = tools.PianoProfile()
+    mel = MelSpec(sample_rate=fs, hop_length=hop, n_mels=229)
+    corpus = SyntheticPiano(base_dir='.', data_proc=mel, profile=profile,
+                            num_frames=None, num_tracks=16,
+                            track_duration=24.0, notes_per_track=60,
+                            save_data=False, seed=0)
+    _log('precomputing corpus features...')
+    tracks = {t: corpus.get_track_data(t) for t in corpus.tracks}
+    train_tracks, holdout = corpus.tracks[:12], corpus.tracks[12:]
+
+    def crops(stream, n):
+        feats_l, mp_l, on_l = [], [], []
+        for _ in range(n):
+            td = tracks[train_tracks[stream.randint(len(train_tracks))]]
+            nf = td[tools.KEY_FEATS].shape[-1]
+            start = stream.randint(0, nf - crop)
+            feats_l.append(td[tools.KEY_FEATS][..., start:start + crop])
+            mp_l.append(td[tools.KEY_MULTIPITCH][:, start:start + crop])
+            on_l.append(td[tools.KEY_ONSETS][:, start:start + crop])
+        return {tools.KEY_FEATS: np.stack(feats_l).astype(np.float32),
+                tools.KEY_MULTIPITCH: np.stack(mp_l).astype(np.float32),
+                tools.KEY_ONSETS: np.stack(on_l).astype(np.float32)}
+
+    # Fixed held-out batch (same for every config)
+    hold_stream = np.random.RandomState(99)
+    saved_train = train_tracks
+    train_tracks = holdout
+    eval_batch = crops(hold_stream, 8)
+    train_tracks = saved_train
+
+    def run(batch_size, lr, steps):
+        model = OnsetsFrames2(dim_in=229, profile=profile,
+                              model_complexity=3, dtype=jnp.bfloat16)
+        optimizer = optax.adam(lr)
+        init_batch = crops(np.random.RandomState(0), batch_size)
+        state = init_state(model, optimizer, init_batch,
+                           rng=jax.random.PRNGKey(3))
+        step = make_train_step(model, optimizer)
+
+        stream = np.random.RandomState(7)
+        tail_losses = []
+        for s in range(steps):
+            state, loss = step(state, crops(stream, batch_size))
+            if s >= steps * 3 // 4:
+                tail_losses.append(loss[tools.KEY_LOSS_TOTAL])
+        tail = float(np.mean([float(v) for v in tail_losses]))
+
+        # Held-out: eval-mode loss + frame P/R/F1 at threshold 0.5
+        variables = state.variables()
+        pre = model.pre_proc(dict(eval_batch))
+
+        @jax.jit
+        def eval_fn(variables, pre):
+            out = model.apply(variables, pre[tools.KEY_FEATS], train=False)
+            post = model.post_proc({**pre, tools.KEY_OUTPUT: out})
+            pred = post[tools.KEY_MULTIPITCH]
+            mp = pre[tools.KEY_MULTIPITCH]
+            tp = jnp.sum(pred * mp)
+            return (post[tools.KEY_LOSS][tools.KEY_LOSS_TOTAL],
+                    tp, pred.sum(), mp.sum())
+
+        ev_loss, tp, p_sum, t_sum = [
+            float(v) for v in eval_fn(variables, pre)]
+        pr = tp / max(p_sum, 1.0)
+        rc = tp / max(t_sum, 1.0)
+        f1 = 2 * pr * rc / max(pr + rc, 1e-9)
+
+        _log(f'batch {batch_size:2d} lr {lr:.1e} x{steps}: train tail-loss '
+             f'{tail:7.3f}  held-out loss {ev_loss:7.3f}  frame F1 {f1:.3f}')
+        return {'train_tail_loss': round(tail, 3),
+                'holdout_loss': round(ev_loss, 3),
+                'holdout_frame_f1': round(f1, 4)}
+
+    _log(f'lr-equivalence: equal sample budget = 8 x {base_steps}')
+    out = {
+        'recipe_b8_lr6e-4': run(8, 6e-4, base_steps),
+        'b32_lr6e-4_unscaled': run(32, 6e-4, base_steps // 4),
+        'b32_lr1.2e-3_sqrt': run(32, 1.2e-3, base_steps // 4),
+        'b32_lr2.4e-3_linear': run(32, 2.4e-3, base_steps // 4),
+    }
+
+    print(json.dumps({
+        'metric': 'train_lr_equivalence_holdout_f1_gap',
+        'value': round(out['b32_lr6e-4_unscaled']['holdout_frame_f1']
+                       - out['recipe_b8_lr6e-4']['holdout_frame_f1'], 4),
+        'unit': 'frame-F1 delta (batch-32 unscaled lr vs batch-8 recipe, '
+                'equal sample budget)',
+        'vs_baseline': 0.0,
+        'configs': out,
     }))
 
 
@@ -1590,6 +1755,8 @@ if __name__ == '__main__':
     elif len(sys.argv) > 1 and sys.argv[1] == 'train':
         if len(sys.argv) > 2 and sys.argv[2] == 'pallas':
             bench_train_pallas()
+        elif len(sys.argv) > 2 and sys.argv[2] == 'lrscale':
+            bench_train_lr_equivalence()
         else:
             bench_train()
     elif len(sys.argv) > 1 and sys.argv[1] == 'streaming':

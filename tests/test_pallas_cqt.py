@@ -117,3 +117,28 @@ def test_pallas_cqt_bf16x3_mode_accuracy():
     err_high = np.max(np.abs(high - exact)) / exact.max()
 
     assert 0 < err_high < 2e-4, f'bf16x3 error {err_high:.2e}'
+
+
+def test_vqt_exact_param_reaches_kernel(monkeypatch):
+    """CQT(exact=...) is threaded through to the fused kernel call."""
+
+    from amt_tools_tpu.features import CQT
+    from amt_tools_tpu.ops import pallas_cqt
+
+    seen = []
+
+    def fake_kernel(audio, kernel, max_length, hop_length, exact=True,
+                    **kw):
+        seen.append(exact)
+        n_bins = kernel.shape[-1] // 2
+        frames = 1 + audio.shape[-1] // hop_length
+        return jnp.zeros((n_bins, frames), jnp.float32)
+
+    monkeypatch.setattr(pallas_cqt, 'cqt_mag_pallas', fake_kernel)
+
+    cqt = CQT(sample_rate=22050, hop_length=512, n_bins=96,
+              bins_per_octave=24, use_pallas=True, exact='high')
+    cqt.process_jax(jnp.zeros(22050))          # 1-D path
+    cqt.process_jax(jnp.zeros((2, 22050)))     # batched/vmapped path
+
+    assert seen and all(e == 'high' for e in seen)
