@@ -97,6 +97,16 @@ class VQT(FeatureModule):
                     a, jnp.asarray(self._kernel), self._support,
                     self.hop_length, exact=self.exact))(flat)
                 mag = mag.reshape(lead + mag.shape[1:])
+
+            # Keep XLA from fusing the dB post-processing INTO the Pallas
+            # kernel's consumer: fused, the CQT stage measures 73.8 ms at
+            # batch 32 x 60 s on v5e vs 44.5 (kernel) + 4.5 (post_proc)
+            # run separately — the fusion forces a bad layout/recompute on
+            # the (bins, T) magnitudes. The barrier is an identity, so
+            # outputs stay bit-equal; it recovers the stage to 46.3 ms.
+            import jax
+
+            mag = jax.lax.optimization_barrier(mag)
         else:
             # The XLA fallback matmul runs in f32 on CPU either way;
             # 'exact' only selects the fused kernel's pass count
