@@ -159,6 +159,9 @@ class OutputLayer(nn.Module):
     dim_in: int
     dim_out: int
     weights: Optional[Any] = None
+    # Computation dtype of the projection (params stay float32); losses
+    # always accumulate in float32 regardless
+    dtype: Optional[Any] = None
 
     @abstractmethod
     def __call__(self, feats):
@@ -193,7 +196,8 @@ class SoftmaxGroups(OutputLayer):
     def __call__(self, feats):
         """(B, T, E) features -> (B, T, num_groups * num_classes) logits."""
 
-        return nn.Dense(self.num_groups * self.num_classes)(feats)
+        return nn.Dense(self.num_groups * self.num_classes,
+                        dtype=self.dtype)(feats)
 
     @nn.nowrap
     def get_loss(self, estimated, reference):
@@ -259,7 +263,7 @@ class LogisticBank(OutputLayer):
     def __call__(self, feats):
         """(B, T, E) features -> (B, T, dim_out) logits."""
 
-        return nn.Dense(self.dim_out,
+        return nn.Dense(self.dim_out, dtype=self.dtype,
                         bias_init=nn.initializers.constant(self.prior_logit))(feats)
 
     @nn.nowrap
@@ -324,7 +328,7 @@ class RegressionBank(OutputLayer):
     def __call__(self, feats):
         """(B, T, E) features -> (B, T, dim_out) raw regression logits."""
 
-        return nn.Dense(self.dim_out)(feats)
+        return nn.Dense(self.dim_out, dtype=self.dtype)(feats)
 
     @nn.nowrap
     def to_log_domain(self, values):

@@ -683,14 +683,17 @@ class OnsetsFrames(TranscriptionModel):
                                           dtype=self.dtype,
                                           quant=self.quant_lm,
                                           pallas_train=self.pallas_lms)
-        self.onset_out = LogisticBank(dim_in=self.dim_lm, dim_out=self.dim_out)
+        self.onset_out = LogisticBank(dim_in=self.dim_lm, dim_out=self.dim_out,
+                                       dtype=self.dtype)
 
-        self.pitch_out = LogisticBank(dim_in=self.dim_am, dim_out=self.dim_out)
+        self.pitch_out = LogisticBank(dim_in=self.dim_am, dim_out=self.dim_out,
+                                       dtype=self.dtype)
 
         self.adjoin_lm = LanguageModel(self.dim_aj, self.dim_lm,
                                        dtype=self.dtype, quant=self.quant_lm,
                                        pallas_train=self.pallas_lms)
-        self.adjoin_out = LogisticBank(dim_in=self.dim_lm, dim_out=self.dim_out)
+        self.adjoin_out = LogisticBank(dim_in=self.dim_lm, dim_out=self.dim_out,
+                                       dtype=self.dtype)
 
     def __call__(self, feats, train=False, lengths=None):
         output = {}
@@ -794,7 +797,8 @@ class OnsetsFrames2(OnsetsFrames):
                                            dtype=self.dtype,
                                            quant=self.quant_lm,
                                            pallas_train=self.pallas_lms)
-        self.offset_out = LogisticBank(dim_in=self.dim_lm, dim_out=self.dim_out)
+        self.offset_out = LogisticBank(dim_in=self.dim_lm, dim_out=self.dim_out,
+                                       dtype=self.dtype)
 
         if self.estimate_velocity:
             # Conv stack -> BiLSTM -> regression (the O&F2 paper's velocity
@@ -809,7 +813,8 @@ class OnsetsFrames2(OnsetsFrames):
                                                  quant=self.quant_lm,
                                                  pallas_train=self.pallas_lms)
             self.velocity_out = RegressionBank(dim_in=self.dim_lm,
-                                               dim_out=self.dim_out)
+                                               dim_out=self.dim_out,
+                                               dtype=self.dtype)
 
     def _lm_outputs(self, emb, train, lengths):
         """Per-head LM features: grouped single scan or per-head modules."""
@@ -936,12 +941,15 @@ class OnsetsFramesOnline(OnsetsFrames):
         self._setup_acoustic()
 
         self.onset_lm = OnlineLanguageModel(self.dim_am, self.dim_lm)
-        self.onset_out = LogisticBank(dim_in=self.dim_lm, dim_out=self.dim_out)
+        self.onset_out = LogisticBank(dim_in=self.dim_lm, dim_out=self.dim_out,
+                                       dtype=self.dtype)
 
-        self.pitch_out = LogisticBank(dim_in=self.dim_am, dim_out=self.dim_out)
+        self.pitch_out = LogisticBank(dim_in=self.dim_am, dim_out=self.dim_out,
+                                       dtype=self.dtype)
 
         self.adjoin_lm = OnlineLanguageModel(self.dim_aj, self.dim_lm)
-        self.adjoin_out = LogisticBank(dim_in=self.dim_lm, dim_out=self.dim_out)
+        self.adjoin_out = LogisticBank(dim_in=self.dim_lm, dim_out=self.dim_out,
+                                       dtype=self.dtype)
 
     @nn.nowrap
     def init_carries(self, batch_size):

@@ -106,25 +106,30 @@ class TabCNN(TranscriptionModel):
             # attribute names pin the checkpoint layout), see ops/qconv.py
             static = self.quant_acoustic == 'static'
             self.conv1 = Int8Conv(nf1, (3, 3), padding='VALID',
-                                  static_scale=static)
+                                  dtype=self.dtype, static_scale=static)
             self.conv2 = Int8Conv(nf2, (3, 3), padding='VALID',
-                                  static_scale=static)
+                                  dtype=self.dtype, static_scale=static)
             self.conv3 = Int8Conv(nf2, (3, 3), padding='VALID',
-                                  static_scale=static)
+                                  dtype=self.dtype, static_scale=static)
             self.dense1 = Int8Dense(128 * self.model_complexity,
-                                    static_scale=static)
+                                    dtype=self.dtype, static_scale=static)
         else:
-            self.conv1 = nn.Conv(nf1, (3, 3), padding='VALID')
-            self.conv2 = nn.Conv(nf2, (3, 3), padding='VALID')
-            self.conv3 = nn.Conv(nf2, (3, 3), padding='VALID')
-            self.dense1 = nn.Dense(128 * self.model_complexity)
+            self.conv1 = nn.Conv(nf1, (3, 3), padding='VALID',
+                                 dtype=self.dtype)
+            self.conv2 = nn.Conv(nf2, (3, 3), padding='VALID',
+                                 dtype=self.dtype)
+            self.conv3 = nn.Conv(nf2, (3, 3), padding='VALID',
+                                 dtype=self.dtype)
+            self.dense1 = nn.Dense(128 * self.model_complexity,
+                                   dtype=self.dtype)
         self.dropout1 = nn.Dropout(0.25)
         self.dropout2 = nn.Dropout(0.50)
         self.tablature_out = SoftmaxGroups(
             dim_in=128 * self.model_complexity,
             dim_out=self.num_groups * self.num_classes,
             num_groups=self.num_groups,
-            num_classes=self.num_classes)
+            num_classes=self.num_classes,
+            dtype=self.dtype)
 
     def __call__(self, feats, train=False):
         """(B, T, F, W, C) windows -> dict with (B, T, G*C) tablature logits.

@@ -213,6 +213,44 @@ def test_fullseq_pipeline_matches_windowed_decode(setup):
     assert agreement > 0.98, f'fullseq vs windowed agreement {agreement:.3f}'
 
 
+def test_bf16_dtype_forward(setup):
+    """TabCNN(dtype=bf16) logits track the f32 forward; fullseq holds.
+
+    The serving bench builds the guitar flagship with
+    ``dtype=jnp.bfloat16`` (``bench.py``): convs/dense/head run in bf16
+    compute while params stay float32. Pins (a) the bf16 logits to the
+    f32 logits within bf16 rounding, and (b) the fullseq==windowed
+    translate-equivalence under bf16 compute too (same geometry, same
+    dtype both sides).
+    """
+
+    import jax.numpy as jnp
+
+    profile, stft, model, variables, audio = setup
+
+    feats = stft.process_jax(audio)
+
+    bf16 = model.clone(dtype=jnp.bfloat16)
+    pre = model.pre_proc({tools.KEY_FEATS: feats})
+
+    out_f32 = model.apply(variables, pre[tools.KEY_FEATS], train=False)
+    out_bf16 = bf16.apply(variables, pre[tools.KEY_FEATS], train=False)
+
+    ref = np.asarray(out_f32[tools.KEY_TABLATURE], dtype=np.float32)
+    got = np.asarray(out_bf16[tools.KEY_TABLATURE], dtype=np.float32)
+    scale = np.max(np.abs(ref))
+    assert np.max(np.abs(got - ref)) < 0.05 * max(scale, 1.0), \
+        f'bf16 deviation {np.max(np.abs(got - ref)):.4f} at scale {scale:.2f}'
+
+    full_bf16 = bf16.clone(fullseq=True)
+    pre_f = full_bf16.pre_proc({tools.KEY_FEATS: feats})
+    out_full = full_bf16.apply(variables, pre_f[tools.KEY_FEATS],
+                               train=False)
+    np.testing.assert_allclose(
+        np.asarray(out_full[tools.KEY_TABLATURE], dtype=np.float32), got,
+        atol=0.02 * max(scale, 1.0), rtol=0.05)
+
+
 def test_calibrate_tablature_activity(setup):
     profile, stft, model, variables, audio = setup
 
