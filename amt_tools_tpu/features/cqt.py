@@ -22,7 +22,8 @@ class VQT(FeatureModule):
 
     def __init__(self, sample_rate=22050, hop_length=512, decibels=True,
                  fmin=None, n_bins=84, bins_per_octave=12, gamma=None,
-                 frame_chunk=256, use_pallas='auto', exact=True):
+                 frame_chunk=256, use_pallas='auto', exact=True,
+                 grouped=False, group_size=64):
         super().__init__(sample_rate, hop_length, 1, decibels)
 
         # Contraction precision of the fused kernel: True = 6-pass f32
@@ -58,6 +59,40 @@ class VQT(FeatureModule):
         self._kernel, self._support = spectral.wavelet_bank(
             freqs, sample_rate, alpha=self.alpha, gamma=self.gamma)
 
+        # Support-grouped banks for the fused kernel: wavelet support
+        # halves per octave, but a single bank pads every bin to the
+        # LONGEST support — at 192 bins @ 24/octave ~77% of the
+        # contraction multiplies structural zeros. Splitting bins into
+        # ``group_size``-sized groups, each padded only to its own
+        # longest wavelet (rounded to the kernel's 2048-sample tile),
+        # removes exactly those zero rows: per-group wavelets are
+        # center-aligned identically (window sample m of bin k lands on
+        # the same audio sample either way), so the grouped transform is
+        # the same math. ``group_size=64`` makes each group's matmul 128
+        # columns — one full MXU tile. 'auto' groups whenever the split
+        # actually drops support tiles (it always does past one octave).
+        # OPT-IN (default False): the multi-kernel program this emits
+        # (one pallas_call per group inside one jit) reproducibly WEDGES
+        # this environment's tunnel AOT compile helper — standalone
+        # group kernels compile in ~1 s each, but any program containing
+        # two+ distinct Pallas kernels hangs the remote compiler until
+        # the service restarts (probed 2026-08-20; see RESULTS.md). Keep
+        # off until measured safe, or until the single-kernel job-list
+        # variant lands.
+        self._groups = None
+        tile = 2048
+        if grouped and n_bins >= 2 * group_size:
+            groups = []
+            for s in range(0, n_bins, group_size):
+                k_g, sup_g = spectral.wavelet_bank(
+                    freqs[s: s + group_size], sample_rate,
+                    alpha=self.alpha, gamma=self.gamma)
+                groups.append((k_g, sup_g))
+            grouped_tiles = sum(sup // tile for _, sup in groups)
+            full_tiles = (self._support // tile) * len(groups)
+            if grouped != 'auto' or grouped_tiles < full_tiles:
+                self._groups = groups
+
         self.use_pallas = use_pallas
 
     def _pallas_enabled(self):
@@ -83,19 +118,27 @@ class VQT(FeatureModule):
             # i.e. the kernel is compute-bound, not DMA-bound (RESULTS.md
             # round 5; block_t >= 512 additionally trips the 16 MB
             # scoped-vmem stack limit).
+            if self._groups is not None:
+                def one_clip(a):
+                    return jnp.concatenate(
+                        [cqt_mag_pallas(a, jnp.asarray(k_g), sup_g,
+                                        self.hop_length, exact=self.exact)
+                         for k_g, sup_g in self._groups], axis=-2)
+            else:
+                def one_clip(a):
+                    return cqt_mag_pallas(a, jnp.asarray(self._kernel),
+                                          self._support, self.hop_length,
+                                          exact=self.exact)
+
             if audio.ndim == 1:
-                mag = cqt_mag_pallas(audio, jnp.asarray(self._kernel),
-                                     self._support, self.hop_length,
-                                     exact=self.exact)
+                mag = one_clip(audio)
             else:
                 # Batched audio: vmap the fused kernel over lead axes
                 import jax
 
                 lead = audio.shape[:-1]
                 flat = audio.reshape((-1, audio.shape[-1]))
-                mag = jax.vmap(lambda a: cqt_mag_pallas(
-                    a, jnp.asarray(self._kernel), self._support,
-                    self.hop_length, exact=self.exact))(flat)
+                mag = jax.vmap(one_clip)(flat)
                 mag = mag.reshape(lead + mag.shape[1:])
 
             # Keep XLA from fusing the dB post-processing INTO the Pallas
@@ -136,9 +179,10 @@ class CQT(VQT):
 
     def __init__(self, sample_rate=22050, hop_length=512, decibels=True,
                  fmin=None, n_bins=84, bins_per_octave=12, frame_chunk=256,
-                 use_pallas='auto', exact=True):
+                 use_pallas='auto', exact=True, grouped=False,
+                 group_size=64):
         super().__init__(sample_rate=sample_rate, hop_length=hop_length,
                          decibels=decibels, fmin=fmin, n_bins=n_bins,
                          bins_per_octave=bins_per_octave, gamma=0.0,
                          frame_chunk=frame_chunk, use_pallas=use_pallas,
-                         exact=exact)
+                         exact=exact, grouped=grouped, group_size=group_size)

@@ -178,6 +178,38 @@ def test_onsetsframes2_offset_head(key):
         + float(loss[tools.KEY_LOSS_OFFSETS]), rtol=1e-6)
 
 
+def test_onsetsframes_bf16_dtype_forward(key):
+    """O&F2(dtype=bf16) raw logits track the f32 forward.
+
+    The serving headline builds the model with ``dtype=jnp.bfloat16``
+    (params stay f32); since round 5 the LogisticBank/RegressionBank
+    heads follow the model dtype instead of silently promoting the bf16
+    LM output to f32 for the head matmuls. Pins the bf16 logits (conv
+    stacks + BiLSTMs + heads all in bf16 compute) to the f32 forward
+    within bf16 rounding at the logit scale.
+    """
+
+    profile = PianoProfile()
+    model = OnsetsFrames2(dim_in=72, profile=profile, model_complexity=2)
+
+    batch = _of_batch(profile)
+    pre = model.pre_proc(dict(batch))
+    variables = model.init({'params': key, 'dropout': key},
+                           pre[tools.KEY_FEATS], train=False)
+
+    raw_f32 = model.apply(variables, pre[tools.KEY_FEATS], train=False)
+    raw_bf16 = model.clone(dtype=jnp.bfloat16).apply(
+        variables, pre[tools.KEY_FEATS], train=False)
+
+    for k in (tools.KEY_MULTIPITCH, tools.KEY_ONSETS, tools.KEY_OFFSETS):
+        ref = np.asarray(raw_f32[k], dtype=np.float32)
+        got = np.asarray(raw_bf16[k], dtype=np.float32)
+        assert got.dtype == np.float32 or got.shape == ref.shape
+        scale = max(float(np.max(np.abs(ref))), 1.0)
+        dev = float(np.max(np.abs(got - ref)))
+        assert dev < 0.05 * scale, f'{k}: bf16 dev {dev:.4f} at scale {scale:.2f}'
+
+
 def test_tabcnn_run_on_batch(key):
     profile = GuitarProfile()
     model = TabCNN(dim_in=96, profile=profile, model_complexity=1)

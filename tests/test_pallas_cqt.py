@@ -142,3 +142,73 @@ def test_vqt_exact_param_reaches_kernel(monkeypatch):
     cqt.process_jax(jnp.zeros((2, 22050)))     # batched/vmapped path
 
     assert seen and all(e == 'high' for e in seen)
+
+
+def test_grouped_banks_match_full_bank():
+    """Support-grouped contraction == full-bank contraction.
+
+    ``VQT(grouped=...)`` splits bins into groups padded only to their own
+    longest wavelet: window sample m of bin k lands on the same audio
+    sample either way (both banks center wavelets identically relative to
+    the frame center), so removing the structural zero rows is the same
+    math. Pins the grouped concat against the single full-bank kernel
+    and against the XLA reference.
+    """
+
+    sr, hop, bpo, n_bins = 22050, 512, 24, 96
+    freqs = spectral.cqt_frequencies(n_bins, 100.0, bpo)
+    alpha = 2 ** (1 / bpo) - 1
+
+    kernel, support = spectral.wavelet_bank(freqs, sr, alpha)
+
+    rng = np.random.RandomState(2)
+    t = np.arange(sr) / sr
+    audio = (0.4 * np.sin(2 * np.pi * 220.0 * t) +
+             0.05 * rng.randn(t.size)).astype(np.float32)
+
+    kw = dict(block_t=8, tile_s=1024, interpret=True)
+    full = np.asarray(cqt_mag_pallas(jnp.asarray(audio), jnp.asarray(kernel),
+                                     support, hop, **kw))
+
+    group_size = 32
+    parts = []
+    supports = []
+    for s in range(0, n_bins, group_size):
+        k_g, sup_g = spectral.wavelet_bank(freqs[s: s + group_size], sr,
+                                           alpha)
+        supports.append(sup_g)
+        parts.append(np.asarray(cqt_mag_pallas(
+            jnp.asarray(audio), jnp.asarray(k_g), sup_g, hop, **kw)))
+    got = np.concatenate(parts, axis=0)
+
+    # The split actually dropped support tiles (the point of grouping)
+    assert max(supports) == support and min(supports) < support
+
+    scale = full.max()
+    np.testing.assert_allclose(got, full, atol=1e-5 * scale, rtol=1e-4)
+
+
+def test_vqt_grouped_auto_builds_groups():
+    """CQT(grouped='auto') materializes per-group banks only when the
+    split drops tiles, and group supports cover the bank's range."""
+
+    from amt_tools_tpu.features import CQT
+
+    cqt = CQT(sample_rate=22050, hop_length=512, n_bins=192,
+              bins_per_octave=24, grouped='auto')
+    assert cqt._groups is not None
+    assert sum(k.shape[-1] // 2 for k, _ in cqt._groups) == 192
+    tiles_grouped = sum(sup // 2048 for _, sup in cqt._groups)
+    tiles_full = (cqt._support // 2048) * len(cqt._groups)
+    assert tiles_grouped < tiles_full
+    # Group supports are tile multiples (the fused kernel's constraint)
+    assert all(sup % 2048 == 0 for _, sup in cqt._groups)
+
+    # Too few bins for two groups -> no grouping machinery
+    small = CQT(sample_rate=22050, hop_length=512, n_bins=96,
+                bins_per_octave=24, grouped='auto')
+    assert small._groups is None
+
+    off = CQT(sample_rate=22050, hop_length=512, n_bins=192,
+              bins_per_octave=24, grouped=False)
+    assert off._groups is None
