@@ -71,14 +71,12 @@ class VQT(FeatureModule):
         # the same math. ``group_size=64`` makes each group's matmul 128
         # columns — one full MXU tile. 'auto' groups whenever the split
         # actually drops support tiles (it always does past one octave).
-        # OPT-IN (default False): the multi-kernel program this emits
-        # (one pallas_call per group inside one jit) reproducibly WEDGES
-        # this environment's tunnel AOT compile helper — standalone
-        # group kernels compile in ~1 s each, but any program containing
-        # two+ distinct Pallas kernels hangs the remote compiler until
-        # the service restarts (probed 2026-08-20; see RESULTS.md). Keep
-        # off until measured safe, or until the single-kernel job-list
-        # variant lands.
+        # The groups run as ONE Pallas kernel whose grid walks a static
+        # (group, tile) job list (``ops.pallas_cqt.cqt_mag_pallas_grouped``)
+        # — one pallas_call per group would put several distinct custom
+        # kernels in one XLA program, which wedges this environment's
+        # tunnel AOT compile helper (probed 2026-08-20; RESULTS.md).
+        # OPT-IN (default False) until chip-measured.
         self._groups = None
         tile = 2048
         if grouped and n_bins >= 2 * group_size:
@@ -92,6 +90,20 @@ class VQT(FeatureModule):
             full_tiles = (self._support // tile) * len(groups)
             if grouped != 'auto' or grouped_tiles < full_tiles:
                 self._groups = groups
+                # Job-list layout for the single fused kernel: column-pad
+                # every group's bank to the widest group, row-concatenate
+                gb = max(k.shape[-1] // 2 for k, _ in groups)
+                slabs = []
+                for k_g, _ in groups:
+                    nb = k_g.shape[-1] // 2
+                    if nb < gb:
+                        pad = np.zeros((k_g.shape[0], gb - nb), k_g.dtype)
+                        k_g = np.concatenate(
+                            [k_g[:, :nb], pad, k_g[:, nb:], pad], axis=1)
+                    slabs.append(k_g)
+                self._bank_stack = np.concatenate(slabs, axis=0)
+                self._group_supports = tuple(sup for _, sup in groups)
+                self._group_bins = tuple(k.shape[-1] // 2 for k, _ in groups)
 
         self.use_pallas = use_pallas
 
@@ -119,11 +131,13 @@ class VQT(FeatureModule):
             # round 5; block_t >= 512 additionally trips the 16 MB
             # scoped-vmem stack limit).
             if self._groups is not None:
+                from ..ops.pallas_cqt import cqt_mag_pallas_grouped
+
                 def one_clip(a):
-                    return jnp.concatenate(
-                        [cqt_mag_pallas(a, jnp.asarray(k_g), sup_g,
-                                        self.hop_length, exact=self.exact)
-                         for k_g, sup_g in self._groups], axis=-2)
+                    return cqt_mag_pallas_grouped(
+                        a, jnp.asarray(self._bank_stack),
+                        self._group_supports, self._group_bins,
+                        self.hop_length, exact=self.exact)
             else:
                 def one_clip(a):
                     return cqt_mag_pallas(a, jnp.asarray(self._kernel),

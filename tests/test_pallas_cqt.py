@@ -212,3 +212,84 @@ def test_vqt_grouped_auto_builds_groups():
     off = CQT(sample_rate=22050, hop_length=512, n_bins=192,
               bins_per_octave=24, grouped=False)
     assert off._groups is None
+
+
+def test_grouped_single_kernel_matches_full_bank():
+    """cqt_mag_pallas_grouped (ONE kernel, static job list) == full bank.
+
+    The job-list kernel exists because one pallas_call per group puts
+    several distinct custom kernels in one XLA program, which wedges the
+    tunnel AOT compiler; this variant must reproduce the single-bank
+    contraction on the concatenated group banks. Also exercises the
+    column-padding path with a non-uniform last group.
+    """
+
+    from amt_tools_tpu.ops.pallas_cqt import cqt_mag_pallas_grouped
+
+    sr, hop, bpo, n_bins = 22050, 512, 24, 80
+    freqs = spectral.cqt_frequencies(n_bins, 100.0, bpo)
+    alpha = 2 ** (1 / bpo) - 1
+    kernel, support = spectral.wavelet_bank(freqs, sr, alpha)
+
+    rng = np.random.RandomState(3)
+    t = np.arange(sr) / sr
+    audio = (0.4 * np.sin(2 * np.pi * 220.0 * t) +
+             0.05 * rng.randn(t.size)).astype(np.float32)
+
+    kw = dict(block_t=8, tile_s=1024, interpret=True)
+    full = np.asarray(cqt_mag_pallas(jnp.asarray(audio), jnp.asarray(kernel),
+                                     support, hop, **kw))
+
+    group_size = 32  # groups of 32, 32, 16 -> pads the last group
+    banks = [spectral.wavelet_bank(freqs[s: s + group_size], sr, alpha)
+             for s in range(0, n_bins, group_size)]
+    gb = max(k.shape[-1] // 2 for k, _ in banks)
+    slabs = []
+    for k_g, _ in banks:
+        nb = k_g.shape[-1] // 2
+        if nb < gb:
+            pad = np.zeros((k_g.shape[0], gb - nb), k_g.dtype)
+            k_g = np.concatenate([k_g[:, :nb], pad, k_g[:, nb:], pad], axis=1)
+        slabs.append(k_g)
+    stack = np.concatenate(slabs, axis=0)
+    supports = tuple(sup for _, sup in banks)
+    bins = tuple(k.shape[-1] // 2 for k, _ in banks)
+    assert min(supports) < support  # the split actually dropped tiles
+
+    got = np.asarray(cqt_mag_pallas_grouped(
+        jnp.asarray(audio), jnp.asarray(stack), supports, bins, hop, **kw))
+
+    assert got.shape == full.shape
+    scale = full.max()
+    np.testing.assert_allclose(got, full, atol=1e-5 * scale, rtol=1e-4)
+
+    # bf16x3 mode agrees with its own full-bank counterpart too
+    full_h = np.asarray(cqt_mag_pallas(jnp.asarray(audio),
+                                       jnp.asarray(kernel), support, hop,
+                                       exact='high', **kw))
+    got_h = np.asarray(cqt_mag_pallas_grouped(
+        jnp.asarray(audio), jnp.asarray(stack), supports, bins, hop,
+        exact='high', **kw))
+    np.testing.assert_allclose(got_h, full_h, atol=3e-4 * scale, rtol=1e-2)
+
+
+def test_vqt_grouped_uses_single_kernel(monkeypatch):
+    """CQT(grouped=...) routes through cqt_mag_pallas_grouped (one kernel)."""
+
+    from amt_tools_tpu.features import CQT
+    from amt_tools_tpu.ops import pallas_cqt
+
+    calls = []
+
+    def fake_grouped(audio, stack, supports, bins, hop_length, **kw):
+        calls.append((supports, bins))
+        frames = 1 + audio.shape[-1] // hop_length
+        return jnp.zeros((sum(bins), frames), jnp.float32)
+
+    monkeypatch.setattr(pallas_cqt, 'cqt_mag_pallas_grouped', fake_grouped)
+
+    cqt = CQT(sample_rate=22050, hop_length=512, n_bins=192,
+              bins_per_octave=24, use_pallas=True, grouped='auto')
+    out = cqt.process_jax(jnp.zeros(22050))
+    assert out.shape[-2] == 192
+    assert calls and calls[0][1] == (64, 64, 64)
