@@ -76,7 +76,11 @@ class VQT(FeatureModule):
         # — one pallas_call per group would put several distinct custom
         # kernels in one XLA program, which wedges this environment's
         # tunnel AOT compile helper (probed 2026-08-20; RESULTS.md).
-        # OPT-IN (default False) until chip-measured.
+        # Chip-measured 2026-08-20: 1.7-1.9x at module scale, 1.051x on
+        # the end-to-end guitar pipeline, exact to 1e-6 vs the full bank
+        # (``bench.py tabcnn grouped-ab``). The guitar serving recipe
+        # opts in; the class default stays False because grouping only
+        # pays past ~2 octaves of support spread.
         self._groups = None
         tile = 2048
         if grouped and n_bins >= 2 * group_size:

@@ -390,7 +390,7 @@ def _count_notes(groups):
     return total
 
 
-def build_tabcnn_pipeline(batch_size, clip_seconds=60.0):
+def build_tabcnn_pipeline(batch_size, clip_seconds=60.0, grouped='auto'):
     """Guitar-flagship serving pipeline: CQT -> TabCNN -> stacked decode.
 
     Paper-recipe features (22.05 kHz, CQT 192 bins at 24/octave, hop 512,
@@ -414,9 +414,13 @@ def build_tabcnn_pipeline(batch_size, clip_seconds=60.0):
     profile = tools.GuitarProfile(num_frets=19)
     # exact='high': the 3-pass bf16x3 contraction (1.47x the 6-pass f32
     # kernel at this shape; <=2e-4 on the dB feature scale — note-decode
-    # agreement is pinned by test_tablature_pipeline)
+    # agreement is pinned by test_tablature_pipeline). grouped='auto':
+    # support-grouped wavelet banks in ONE fused Pallas kernel — chip
+    # A/B 2026-08-20: 1.7-1.9x at CQT-module scale, 1.051x end-to-end
+    # (12,831x vs 12,212x RT, band [0.92, 1.11]), decode agreement
+    # 13538 vs 13537 notes (`python bench.py tabcnn grouped-ab`)
     cqt = CQT(sample_rate=sample_rate, hop_length=hop,
-              n_bins=192, bins_per_octave=24, exact='high')
+              n_bins=192, bins_per_octave=24, exact='high', grouped=grouped)
     # fullseq: the exact-equivalent whole-sequence forward — the windowed
     # graph materializes a frame_width-fold larger conv activation (40 GB
     # at this config, HBM-infeasible; measured round 4)
@@ -541,6 +545,88 @@ def bench_tabcnn(emit=True):
     }
     if emit:
         print(json.dumps(result))
+
+    return result
+
+
+def bench_tabcnn_grouped_ab():
+    """Grouped-CQT vs full-bank A/B on the guitar pipeline.
+
+    ``python bench.py tabcnn grouped-ab``. The support-grouped wavelet
+    bank drops ~58% of the CQT contraction's structural-zero tiles
+    (``features/cqt.py`` grouping note) and runs as ONE fused Pallas
+    kernel walking a static (group, tile) job list — this measures
+    whether the tile savings survive the job-list overhead end-to-end.
+    Same interleaved-window protocol as ``bench.py ab`` so tunnel drift
+    cancels; both arms share the init RNG so parameters are identical.
+    """
+
+    import jax
+
+    try:
+        jax.config.update('jax_compilation_cache_dir',
+                          os.path.expanduser('~/.cache/jax'))
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+    except Exception:
+        pass
+
+    batch_size = int(os.environ.get('AMT_BENCH_BATCH', 64))
+    clip_seconds = float(os.environ.get('AMT_BENCH_CLIP_SECONDS', 60.0))
+    runs = int(os.environ.get('AMT_BENCH_RUNS', 8))
+    windows = int(os.environ.get('AMT_BENCH_WINDOWS', 5))
+
+    _log(f'building full-bank pipeline (batch {batch_size})...')
+    full, audio = build_tabcnn_pipeline(batch_size, clip_seconds)
+    _log('building grouped pipeline...')
+    grp, _ = build_tabcnn_pipeline(batch_size, clip_seconds, grouped='auto')
+
+    _log('compiling both arms...')
+    t0 = time.perf_counter()
+    full(audio)
+    _log(f'full-bank compile+run: {time.perf_counter() - t0:.1f}s')
+    t0 = time.perf_counter()
+    grp(audio)
+    _log(f'grouped compile+run: {time.perf_counter() - t0:.1f}s')
+
+    g_elapsed, f_elapsed = [], []
+    for w in range(windows):
+        eg, g_notes = measure(grp, audio, runs)
+        ef, f_notes = measure(full, audio, runs)
+        g_elapsed.append(eg)
+        f_elapsed.append(ef)
+        _log(f'window {w + 1}/{windows}: grouped {eg:.2f}s full {ef:.2f}s '
+             f'(ratio {ef / eg:.3f})')
+
+    # Decode agreement: identical params, only the CQT layout differs —
+    # note counts must match to within rounding noise
+    ng, nf = _count_notes(g_notes), _count_notes(f_notes)
+    _log(f'notes/batch: grouped {ng} vs full {nf}')
+
+    g_elapsed.sort()
+    f_elapsed.sort()
+    audio_seconds = batch_size * clip_seconds
+    rtf_g = audio_seconds * runs / g_elapsed[len(g_elapsed) // 2]
+    rtf_f = audio_seconds * runs / f_elapsed[len(f_elapsed) // 2]
+    band = [round((audio_seconds * runs / g_elapsed[-1]) /
+                  (audio_seconds * runs / f_elapsed[0]), 3),
+            round((audio_seconds * runs / g_elapsed[0]) /
+                  (audio_seconds * runs / f_elapsed[-1]), 3)]
+
+    result = {
+        'metric': 'tabcnn_grouped_cqt_speedup',
+        'value': round(rtf_g / rtf_f, 3),
+        'unit': 'x (median-of-windows ratio, same process)',
+        'vs_baseline': round(rtf_g / rtf_f, 3),
+        'tabcnn_rtf_grouped': round(rtf_g, 2),
+        'tabcnn_rtf_full_bank': round(rtf_f, 2),
+        'speedup_window_band': band,
+        'notes_grouped': ng,
+        'notes_full_bank': nf,
+        'windows': windows,
+    }
+    _log(f'grouped-CQT A/B: grouped {rtf_g:.0f}x vs full {rtf_f:.0f}x -> '
+         f'{rtf_g / rtf_f:.3f}x (band {band})')
+    print(json.dumps(result))
 
     return result
 
@@ -1766,6 +1852,8 @@ if __name__ == '__main__':
     elif len(sys.argv) > 1 and sys.argv[1] == 'tabcnn':
         if len(sys.argv) > 2 and sys.argv[2] == 'roofline':
             bench_tabcnn_roofline()
+        elif len(sys.argv) > 2 and sys.argv[2] == 'grouped-ab':
+            bench_tabcnn_grouped_ab()
         else:
             bench_tabcnn()
     elif len(sys.argv) > 1 and sys.argv[1] == 'int8':
